@@ -1,0 +1,112 @@
+"""Configuration for the stereo pipeline.
+
+The parameter surface mirrors the reference's de-facto API — the
+``[disparity]`` section of ``settings.ini`` merged over hard-coded defaults
+(reference: ``disparity_calculation.py:75-128``, ``settings.ini:1-23``) —
+plus TPU-native knobs (cost function, dtype policy, tiling) that have no
+reference equivalent.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class DisparityConfig:
+    """Matching parameters. Names follow the reference ``settings.ini``.
+
+    The first block is the OpenCV-SGBM-compatible surface
+    (reference ``stereo_vision/stereo_vision.py:153-163``); the second block
+    is the WLS post-filter (``:172-175``); the rest are TPU-native.
+    """
+
+    # --- SGBM-compatible parameters (reference settings.ini:3-20) ---
+    window_size: int = 5          # SAD window used to derive P1/P2
+    min_disparity: int = 0
+    num_disparities: int = 160    # must be >0; rounded up to multiple of 16
+    block_size: int = 5           # matching block (odd)
+    disp12_max_diff: int = 1      # LR-consistency tolerance (<0 disables)
+    uniqueness_ratio: int = 15    # percent margin of best vs 2nd-best cost
+    speckle_window_size: int = 0  # 0 disables speckle filtering
+    speckle_range: int = 2
+    pre_filter_cap: int = 63      # x-Sobel clamp for BT cost
+    # --- WLS post-filter (reference settings.ini:21-23) ---
+    lmbda: float = 80000.0
+    sigma: float = 1.2
+    # --- TPU-native knobs (no reference equivalent) ---
+    cost: str = "census"          # census | sad | bt | ssd | mccnn
+    census_window: tuple[int, int] = (5, 5)
+    p1: float | None = None       # None -> 8 * channels * window_size**2
+    p2: float | None = None       # None -> 32 * channels * window_size**2
+    num_paths: int = 8            # SGM directions: 2, 4 or 8
+    subpixel: bool = True         # parabola subpixel refinement
+    wls: bool = True              # apply WLS refinement
+    wls_iters: int = 3
+    channels: int = 1             # cost channels used in P1/P2 derivation
+    dtype: str = "float32"        # accumulation dtype for the cost volume
+
+    def __post_init__(self) -> None:
+        # SGBM contract: num_disparities is a positive multiple of 16.
+        if self.num_disparities <= 0:
+            raise ValueError("num_disparities must be > 0")
+        self.num_disparities = -(-self.num_disparities // 16) * 16
+
+    @property
+    def P1(self) -> float:
+        if self.p1 is not None:
+            return float(self.p1)
+        return 8.0 * self.channels * self.window_size**2
+
+    @property
+    def P2(self) -> float:
+        if self.p2 is not None:
+            return float(self.p2)
+        return 32.0 * self.channels * self.window_size**2
+
+    def replace(self, **kw: Any) -> "DisparityConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_INT_KEYS = {
+    "window_size", "min_disparity", "num_disparities", "block_size",
+    "disp12_max_diff", "uniqueness_ratio", "speckle_window_size",
+    "speckle_range", "pre_filter_cap", "num_paths", "wls_iters", "channels",
+}
+_FLOAT_KEYS = {"lmbda", "sigma", "p1", "p2"}
+_BOOL_KEYS = {"subpixel", "wls"}
+
+
+def load_settings(path: str | None = None,
+                  overrides: dict[str, Any] | None = None) -> DisparityConfig:
+    """Build a config from defaults <- INI file <- explicit overrides.
+
+    Matches the reference's override-if-present merge semantics
+    (``disparity_calculation.py:75-128``): keys absent from the INI keep
+    their defaults; unknown keys are ignored.
+    """
+    values: dict[str, Any] = {}
+    if path is not None:
+        parser = configparser.ConfigParser()
+        read = parser.read(path)
+        if not read:
+            raise FileNotFoundError(path)
+        if parser.has_section("disparity"):
+            section = parser["disparity"]
+            for key in section:
+                if key in _INT_KEYS:
+                    values[key] = section.getint(key)
+                elif key in _FLOAT_KEYS:
+                    values[key] = section.getfloat(key)
+                elif key in _BOOL_KEYS:
+                    values[key] = section.getboolean(key)
+                elif key in {f.name for f in dataclasses.fields(DisparityConfig)}:
+                    values[key] = section.get(key)
+    if overrides:
+        values.update({k: v for k, v in overrides.items() if v is not None})
+    known = {f.name for f in dataclasses.fields(DisparityConfig)}
+    values = {k: v for k, v in values.items() if k in known}
+    return DisparityConfig(**values)
