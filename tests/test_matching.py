@@ -1,0 +1,291 @@
+"""Cost volumes, SGM aggregation, and WTA vs brute-force + OpenCV oracles."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair, slanted_scene
+from stereo_match_tpu.eval.metrics import bad_pixel_rate, end_point_error
+from stereo_match_tpu.ops.census import census_transform, hamming_distance
+from stereo_match_tpu.ops.cost_volume import (
+    _box_filter, bt_cost_volume, build_cost_volume, census_cost_volume,
+    sad_cost_volume, sobel_x_clipped,
+)
+from stereo_match_tpu.ops.sgm import (
+    PATH_DIRECTIONS_8, aggregate_direction, scan_direction, sgm_aggregate,
+)
+from stereo_match_tpu.ops.wta import (
+    extract_disparity, from_fixed_point, lr_consistency_mask,
+    right_disparity_from_volume, subpixel_refine, to_fixed_point,
+    uniqueness_mask, wta_disparity,
+)
+
+
+# ---------------------------------------------------------------- census ----
+
+def test_census_bit_count_and_range(rng):
+    img = rng.uniform(0, 255, (20, 30)).astype(np.float32)
+    c = np.asarray(census_transform(img, (5, 5)))
+    assert c.shape == (20, 30, 1)
+    # interior pixel: number of set bits <= 24
+    pops = np.asarray(jax.lax.population_count(jnp.asarray(c)))
+    assert pops.max() <= 24
+
+
+def test_census_invariant_to_monotonic_transform(rng):
+    img = rng.uniform(10, 200, (16, 16)).astype(np.float32)
+    c1 = np.asarray(census_transform(img))
+    c2 = np.asarray(census_transform(img * 2.0 + 5.0))
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_census_multiword():
+    img = np.arange(15 * 17, dtype=np.float32).reshape(15, 17)
+    c = np.asarray(census_transform(img, (7, 9)))   # 62 bits -> 2 words
+    assert c.shape[-1] == 2
+
+
+def test_hamming_distance_basics():
+    a = jnp.array([[[0b1011]]], jnp.int32)
+    b = jnp.array([[[0b0110]]], jnp.int32)
+    assert int(hamming_distance(a, b)[0, 0]) == 3
+    assert int(hamming_distance(a, a)[0, 0]) == 0
+
+
+# ---------------------------------------------------------- cost volumes ----
+
+def test_census_cost_zero_at_true_disparity():
+    gt = np.full((40, 64), 7.0, np.float32)
+    left, right = random_dot_pair(40, 64, gt, blur=0.8)
+    vol = np.asarray(census_cost_volume(jnp.asarray(left), jnp.asarray(right), 16))
+    interior = vol[8:-8, 16:-8]
+    # at d=7 the census patterns match almost everywhere
+    assert interior[..., 7].mean() < 1.0
+    assert interior[..., 3].mean() > 5.0
+
+
+def test_box_filter_matches_cv2(rng):
+    x = rng.uniform(0, 10, (24, 32)).astype(np.float32)
+    mine = np.asarray(_box_filter(jnp.asarray(x), 5))
+    ref = cv2.blur(x, (5, 5), borderType=cv2.BORDER_ISOLATED)
+    # cv2 BORDER_ISOLATED divides by full window; compare interior only
+    np.testing.assert_allclose(mine[2:-2, 2:-2], ref[2:-2, 2:-2], rtol=1e-5)
+
+
+def test_sad_cost_invalid_region():
+    l = jnp.zeros((10, 20))
+    r = jnp.zeros((10, 20))
+    vol = np.asarray(sad_cost_volume(l, r, 8, block_size=1))
+    # x < d is out of frame -> INVALID_COST
+    assert vol[0, 3, 5] == pytest.approx(1e4)
+    assert vol[0, 5, 5] == pytest.approx(0.0)
+
+
+def test_sobel_x_clipped_matches_cv2(rng):
+    img = rng.uniform(0, 255, (20, 30)).astype(np.float32)
+    mine = np.asarray(sobel_x_clipped(img, 63))
+    ref = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3, borderType=cv2.BORDER_REPLICATE)
+    ref = np.clip(ref / 4.0, -63, 63) + 63
+    np.testing.assert_allclose(mine[1:-1, 1:-1], ref[1:-1, 1:-1], atol=1e-3)
+
+
+def test_bt_cost_subpixel_tolerance():
+    # BT cost at the true integer disparity stays ~0 even with a half-pixel
+    # sampling offset, where plain AD would be large.
+    x = np.linspace(0, 4 * np.pi, 64, dtype=np.float32)
+    sig = (np.sin(x) * 100 + 128)
+    left = np.tile(sig, (8, 1))
+    right = np.tile((np.sin(x + 0.25) * 100 + 128), (8, 1))  # sub-sample shift
+    vol = np.asarray(bt_cost_volume(jnp.asarray(left), jnp.asarray(right), 4,
+                                    pre_filter_cap=63, block_size=1))
+    ad = np.abs(sobel_x_clipped(jnp.asarray(left)) - sobel_x_clipped(jnp.asarray(right)))
+    assert vol[4, 10:-10, 0].mean() < np.asarray(ad)[4, 10:-10].mean()
+
+
+def test_build_cost_volume_dispatch():
+    l = jnp.zeros((8, 16))
+    for cost in ("census", "sad", "ssd", "bt"):
+        v = build_cost_volume(l, l, 16, cost=cost)
+        assert v.shape == (8, 16, 16)
+    with pytest.raises(ValueError):
+        build_cost_volume(l, l, 16, cost="nope")
+
+
+# ------------------------------------------------------------------- SGM ----
+
+def _sgm_ref(cost, dy, dx, p1, p2):
+    """Brute-force SGM single-direction reference."""
+    H, W, D = cost.shape
+    L = np.zeros_like(cost)
+    ys = range(H) if dy >= 0 else range(H - 1, -1, -1)
+    xs = range(W) if dx >= 0 else range(W - 1, -1, -1)
+    big = 1e9
+    for y in ys:
+        for x in xs:
+            py, px = y - dy, x - dx
+            if 0 <= py < H and 0 <= px < W:
+                prev = L[py, px]
+                pmin = prev.min()
+                m = np.minimum.reduce([
+                    prev,
+                    np.concatenate([[big], prev[:-1]]) + p1,
+                    np.concatenate([prev[1:], [big]]) + p1,
+                    np.full(D, pmin + p2),
+                ])
+                L[y, x] = cost[y, x] + m - pmin
+            else:
+                L[y, x] = cost[y, x]
+    return L
+
+
+@pytest.mark.parametrize("direction", PATH_DIRECTIONS_8)
+def test_aggregate_direction_matches_bruteforce(rng, direction):
+    dy, dx = direction
+    cost = rng.uniform(0, 30, (9, 13, 8)).astype(np.float32)
+    mine = np.asarray(aggregate_direction(jnp.asarray(cost), dy, dx, 5.0, 20.0))
+    ref = _sgm_ref(cost, dy, dx, 5.0, 20.0)
+    np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_scan_direction_first_row_is_cost(rng):
+    cost = rng.uniform(0, 10, (5, 7, 4)).astype(np.float32)
+    out = np.asarray(scan_direction(jnp.asarray(cost), 2.0, 8.0))
+    np.testing.assert_allclose(out[0], cost[0], atol=1e-6)
+
+
+def test_sgm_aggregate_sums_paths(rng):
+    cost = rng.uniform(0, 30, (9, 13, 8)).astype(np.float32)
+    agg = np.asarray(sgm_aggregate(jnp.asarray(cost), 5.0, 20.0, 4))
+    ref = sum(_sgm_ref(cost, dy, dx, 5.0, 20.0)
+              for dy, dx in PATH_DIRECTIONS_8[:4])
+    np.testing.assert_allclose(agg, ref, rtol=1e-5, atol=1e-3)
+    with pytest.raises(ValueError):
+        sgm_aggregate(jnp.asarray(cost), 5.0, 20.0, 3)
+
+
+def test_sgm_smooths_noisy_costs():
+    # A pixel whose raw cost prefers a spurious disparity gets corrected
+    # by neighbors under SGM.
+    H, W, D = 5, 11, 6
+    cost = np.full((H, W, D), 10.0, np.float32)
+    cost[..., 2] = 1.0          # true disparity 2 everywhere
+    cost[2, 5, 2] = 10.0        # corrupt center pixel
+    cost[2, 5, 5] = 0.0         # spurious winner
+    raw_winner = int(np.argmin(cost[2, 5]))
+    agg = np.asarray(sgm_aggregate(jnp.asarray(cost), 2.0, 50.0, 8))
+    sgm_winner = int(np.argmin(agg[2, 5]))
+    assert raw_winner == 5 and sgm_winner == 2
+
+
+# ------------------------------------------------------------------- WTA ----
+
+def test_subpixel_parabola_recovers_offset():
+    # quadratic cost with minimum at d = 3.3
+    d = np.arange(8, dtype=np.float32)
+    cost = (d - 3.3) ** 2
+    vol = jnp.asarray(np.tile(cost, (2, 2, 1)))
+    idx = wta_disparity(vol)
+    disp = np.asarray(subpixel_refine(vol, idx))
+    np.testing.assert_allclose(disp, 3.3, atol=1e-3)
+
+
+def test_subpixel_keeps_integer_at_edges():
+    cost = jnp.asarray(np.arange(8, dtype=np.float32)[None, None])  # min at 0
+    disp = np.asarray(subpixel_refine(cost, wta_disparity(cost)))
+    assert disp[0, 0] == 0.0
+
+
+def test_uniqueness_mask():
+    vol = np.full((1, 2, 10), 100.0, np.float32)
+    vol[0, 0, 4] = 50.0                     # unique winner
+    vol[0, 1, 4] = 50.0
+    vol[0, 1, 8] = 51.0                     # ambiguous far competitor
+    m = np.asarray(uniqueness_mask(jnp.asarray(vol), wta_disparity(jnp.asarray(vol)), 15))
+    assert m[0, 0] and not m[0, 1]
+    # neighbor competitor does not kill uniqueness
+    vol[0, 1, 8] = 100.0
+    vol[0, 1, 5] = 50.5
+    m = np.asarray(uniqueness_mask(jnp.asarray(vol), wta_disparity(jnp.asarray(vol)), 15))
+    assert m[0, 1]
+
+
+def test_right_disparity_from_volume():
+    # constant-disparity scene: C(y, x, d) minimal at d=3
+    H, W, D = 4, 16, 8
+    vol = np.full((H, W, D), 10.0, np.float32)
+    vol[..., 3] = 0.0
+    dr = np.asarray(right_disparity_from_volume(jnp.asarray(vol)))
+    np.testing.assert_array_equal(dr[:, : W - 4], 3.0)
+
+
+def test_lr_consistency_mask():
+    H, W = 2, 10
+    dl = np.full((H, W), 3.0, np.float32)
+    dr = np.full((H, W), 3.0, np.float32)
+    m = np.asarray(lr_consistency_mask(jnp.asarray(dl), jnp.asarray(dr), 1))
+    assert m[:, 3:].all()          # x<3 maps out of frame
+    assert not m[:, :3].any()
+    dr[:, 2] = 9.0                 # inconsistent at x_r = 2 -> x_l = 5
+    m = np.asarray(lr_consistency_mask(jnp.asarray(dl), jnp.asarray(dr), 1))
+    assert not m[0, 5]
+    # disabled check passes everything
+    m = np.asarray(lr_consistency_mask(jnp.asarray(dl), jnp.asarray(dr), -1))
+    assert m.all()
+
+
+def test_fixed_point_roundtrip():
+    d = jnp.asarray(np.array([[1.25, np.nan], [159.9375, 0.0]], np.float32))
+    fp = np.asarray(to_fixed_point(d))
+    assert fp.dtype == np.int16
+    assert fp[0, 0] == 20 and fp[0, 1] == -16
+    back = np.asarray(from_fixed_point(jnp.asarray(fp)))
+    assert back[0, 0] == 1.25 and np.isnan(back[0, 1])
+
+
+# ------------------------------------------------------------ end-to-end ----
+
+def _pipeline(left, right, D, num_paths=8, **kw):
+    vol = build_cost_volume(jnp.asarray(left), jnp.asarray(right), D, cost="census")
+    agg = sgm_aggregate(vol, 8.0, 96.0, num_paths)
+    return np.asarray(extract_disparity(agg, **kw))
+
+
+def test_end_to_end_box_scene():
+    gt = box_scene(96, 128)
+    left, right = random_dot_pair(96, 128, gt, blur=0.8)
+    disp = _pipeline(left, right, 32, uniqueness_ratio=0, disp12_max_diff=1)
+    assert float(bad_pixel_rate(disp, gt, 3.0, 0.0)) < 0.03
+    assert float(end_point_error(disp, gt)) < 0.5
+    assert np.isfinite(disp).mean() > 0.85
+
+
+def test_end_to_end_subpixel_slant():
+    gt = slanted_scene(64, 96, 2.0, 14.0)
+    left, right = random_dot_pair(64, 96, gt, blur=1.2, seed=3)
+    disp = _pipeline(left, right, 16, uniqueness_ratio=0, disp12_max_diff=-1)
+    valid = np.isfinite(disp)
+    err = np.abs(disp - gt)[valid]
+    # subpixel refinement: mean error well below integer quantization
+    assert err.mean() < 0.45
+
+
+def test_parity_with_opencv_sgbm():
+    """bad-3px within 2% of cv2.StereoSGBM on the same scene (BASELINE.md)."""
+    gt = box_scene(96, 128)
+    left, right = random_dot_pair(96, 128, gt, blur=0.8, seed=1)
+    l8, r8 = left.astype(np.uint8), right.astype(np.uint8)
+
+    matcher = cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=32, blockSize=5,
+        P1=8 * 25, P2=32 * 25, disp12MaxDiff=1, uniquenessRatio=0,
+        speckleWindowSize=0, speckleRange=2, preFilterCap=63)
+    ref = matcher.compute(l8, r8).astype(np.float32) / 16.0
+    ref[ref < 0] = np.nan
+
+    disp = _pipeline(left, right, 32, uniqueness_ratio=0, disp12_max_diff=1)
+
+    ref_bad3 = float(bad_pixel_rate(ref, gt, 3.0, 0.0))
+    my_bad3 = float(bad_pixel_rate(disp, gt, 3.0, 0.0))
+    assert my_bad3 <= ref_bad3 + 0.02, (my_bad3, ref_bad3)
