@@ -57,14 +57,26 @@ class DisparityConfig:
 
     @property
     def P1(self) -> float:
+        """Small-jump penalty, scaled to the cost family's dynamic range.
+
+        SAD/BT on 8-bit images: OpenCV's 8*ch*window^2 (reference
+        ``stereo_vision/stereo_vision.py:148``). Census: the cost unit is a
+        Hamming bit, so penalties scale with the descriptor bit count.
+        """
         if self.p1 is not None:
             return float(self.p1)
+        if self.cost in ("census", "mccnn"):
+            bits = self.census_window[0] * self.census_window[1] - 1
+            return bits / 3.0
         return 8.0 * self.channels * self.window_size**2
 
     @property
     def P2(self) -> float:
         if self.p2 is not None:
             return float(self.p2)
+        if self.cost in ("census", "mccnn"):
+            bits = self.census_window[0] * self.census_window[1] - 1
+            return bits * 4.0
         return 32.0 * self.channels * self.window_size**2
 
     def replace(self, **kw: Any) -> "DisparityConfig":

@@ -1,0 +1,128 @@
+"""Edge-aware weighted-least-squares disparity refinement (jittable JAX).
+
+Replaces OpenCV's ``DisparityWLSFilter`` (reference:
+``stereo_vision/stereo_vision.py:172-183``, generic variant
+``disparity_test.py:182-186``) with the fast-global-smoother formulation:
+the 2-D WLS energy
+
+    E(u) = sum_p (u_p - f_p)^2 + lambda * sum_{q in N(p)} w_pq (u_p - u_q)^2
+
+is minimized by alternating exact 1-D tridiagonal solves (Thomas algorithm)
+along rows and columns with guide-image weights
+w = exp(-|I_p - I_q| / sigma_color), geometrically increasing per-pass
+lambda_t = 1.5 * lambda * 4^(T-t) / (4^T - 1). This is all sequential-scan
+math (``lax.scan`` along the solve axis, vectorized across the other axis)
+— no sparse linear algebra, which is exactly what maps to TPU (SURVEY.md §7
+hard parts).
+
+Confidence weighting: invalid (NaN) disparities get weight 0 and are
+in-filled by the smoother, u = FGS(c * d) / FGS(c) — the same mechanism
+OpenCV's filter uses with its LR-consistency confidence map.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _edge_weights(guide: jnp.ndarray, axis: int, sigma_color: float) -> jnp.ndarray:
+    """w[i] = exp(-|I[i+1] - I[i]| / sigma) along ``axis`` (length N-1)."""
+    g = jnp.asarray(guide, jnp.float32)
+    diff = jnp.abs(jnp.diff(g, axis=axis))
+    return jnp.exp(-diff / jnp.float32(sigma_color))
+
+
+def _tridiagonal_smooth_rows(f: jnp.ndarray, w: jnp.ndarray,
+                             lam: jnp.ndarray) -> jnp.ndarray:
+    """Solve (I + lam*A) u = f row-wise; A is the weighted 1-D Laplacian.
+
+    ``f``: (H, W); ``w``: (H, W-1) edge weights between columns x and x+1.
+    Tridiagonal system per row: a_x u_{x-1} + b_x u_x + c_x u_{x+1} = f_x
+    with a_x = -lam*w_{x-1}, c_x = -lam*w_x, b_x = 1 - a_x - c_x.
+    Thomas algorithm as a forward scan (carry: modified c', d') plus a
+    backward scan, vectorized over rows.
+    """
+    H, W = f.shape
+    zero = jnp.zeros((H, 1), jnp.float32)
+    a = jnp.concatenate([zero, -lam * w], axis=1)          # (H, W)
+    c = jnp.concatenate([-lam * w, zero], axis=1)
+    b = 1.0 - a - c
+
+    # forward sweep over columns; each step handles an (H,) slice
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        a_x, b_x, c_x, f_x = inp
+        denom = b_x - a_x * cp_prev
+        cp = c_x / denom
+        dp = (f_x - a_x * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    inputs = (a.T, b.T, c.T, f.T)     # (W, H) each
+    (_, _), (cps, dps) = jax.lax.scan(fwd, (jnp.zeros(H), jnp.zeros(H)), inputs)
+
+    # backward substitution
+    def bwd(u_next, inp):
+        cp, dp = inp
+        u = dp - cp * u_next
+        return u, u
+
+    _, us = jax.lax.scan(bwd, jnp.zeros(H), (cps, dps), reverse=True)
+    return us.T                        # (H, W)
+
+
+def fast_global_smoother(src: jnp.ndarray, guide: jnp.ndarray,
+                         lmbda: float, sigma_color: float,
+                         num_iter: int = 3) -> jnp.ndarray:
+    """Edge-aware smoothing of ``src`` guided by ``guide`` (both (H, W))."""
+    u = jnp.asarray(src, jnp.float32)
+    wx = _edge_weights(guide, axis=1, sigma_color=sigma_color)   # (H, W-1)
+    wy = _edge_weights(guide, axis=0, sigma_color=sigma_color)   # (H-1, W)
+    lam_base = jnp.float32(1.5) * lmbda / (4.0 ** num_iter - 1.0)
+    for t in range(num_iter):
+        lam_t = lam_base * (4.0 ** (num_iter - t - 1))
+        u = _tridiagonal_smooth_rows(u, wx, lam_t)
+        u = _tridiagonal_smooth_rows(u.T, wy.T, lam_t).T
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("num_iter",))
+def wls_filter_disparity(disparity: jnp.ndarray, guide: jnp.ndarray,
+                         lmbda: float = 8000.0, sigma_color: float = 1.2,
+                         num_iter: int = 3,
+                         confidence: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Confidence-weighted WLS refinement of a disparity map.
+
+    ``disparity``: (H, W) float with NaN invalids (this framework's
+    convention). ``guide``: the left image (H, W) grayscale. ``confidence``:
+    optional [0, 1] weights; defaults to validity. Output is dense (invalid
+    regions in-filled), matching the reference behavior where the WLS output
+    is used densely downstream (``disparity_calculation.py:289-302``).
+
+    Note on parameters: OpenCV's lambda (settings.ini:21, default 80000)
+    lives in an 8-bit guide / DISP_SCALE=16 fixed-point world; values here
+    are equivalent smoothing strengths in float disparity units.
+    """
+    d = jnp.asarray(disparity, jnp.float32)
+    valid = jnp.isfinite(d)
+    conf = valid.astype(jnp.float32)
+    if confidence is not None:
+        conf = conf * jnp.asarray(confidence, jnp.float32)
+    d0 = jnp.where(valid, d, 0.0)
+    num = fast_global_smoother(conf * d0, guide, lmbda, sigma_color, num_iter)
+    den = fast_global_smoother(conf, guide, lmbda, sigma_color, num_iter)
+    return num / jnp.maximum(den, 1e-6)
+
+
+def lr_confidence(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
+                  max_diff: float = 1.0) -> jnp.ndarray:
+    """Soft LR-consistency confidence in [0, 1] (OpenCV-filter analog)."""
+    H, W = disp_left.shape
+    x = jnp.arange(W)[None, :].astype(jnp.float32)
+    xr = jnp.clip(jnp.round(x - disp_left), 0, W - 1).astype(jnp.int32)
+    d_r = jnp.take_along_axis(disp_right, xr, axis=1)
+    err = jnp.abs(disp_left - d_r)
+    conf = jnp.clip(1.0 - (err - max_diff) / jnp.maximum(max_diff, 1e-6), 0.0, 1.0)
+    return jnp.where(jnp.isfinite(conf), conf, 0.0)

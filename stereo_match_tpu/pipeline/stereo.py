@@ -1,0 +1,160 @@
+"""The end-to-end stereo pipeline.
+
+Mirrors the reference's flagship flow (``disparity_calculation.py:227-320``,
+call stack SURVEY.md §3.1): rectify -> cost -> SGM -> WTA -> WLS ->
+reproject -> point cloud, as one jit-compiled device program per stereo
+pair (stages fused by XLA; only rectification-map setup and PLY writing
+touch the host).
+
+Two API layers:
+
+* :class:`StereoMatcher` — the modern surface. Static config -> one
+  compiled program; float32 disparities with NaN invalids.
+* :func:`compute_disparity` — the reference-parity surface
+  (``stereo_vision/stereo_vision.py:132-184``): returns (raw, filtered)
+  int16 disparity*16 maps.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.core.rectify import RectificationResult, rectify_pair
+from stereo_match_tpu.core.reproject import reproject_image_to_3d
+from stereo_match_tpu.data.image import to_grayscale
+from stereo_match_tpu.data.ply import write_ply
+from stereo_match_tpu.ops.cost_volume import build_cost_volume
+from stereo_match_tpu.ops.sgm import sgm_aggregate
+from stereo_match_tpu.ops.speckle import speckle_filter
+from stereo_match_tpu.ops.wls import wls_filter_disparity
+from stereo_match_tpu.ops.wta import extract_disparity, to_fixed_point
+
+
+@dataclass
+class StereoResult:
+    """Outputs of one pipeline run (host-side numpy views)."""
+    disparity: np.ndarray                 # raw float32, NaN invalid
+    disparity_filtered: np.ndarray        # WLS-refined (dense)
+    rect_left: np.ndarray | None = None
+    rect_right: np.ndarray | None = None
+    rectification: RectificationResult | None = None
+    points: np.ndarray | None = None      # (H, W, 3) when reprojected
+    meta: dict[str, Any] = field(default_factory=dict)
+
+
+def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
+                cfg: DisparityConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace-once core: images -> (raw, filtered) float disparities."""
+    vol = build_cost_volume(
+        left_gray, right_gray,
+        num_disparities=cfg.num_disparities,
+        min_disparity=cfg.min_disparity,
+        cost=cfg.cost, block_size=cfg.block_size,
+        window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap)
+    agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
+    disp = extract_disparity(
+        agg, min_disparity=cfg.min_disparity,
+        uniqueness_ratio=cfg.uniqueness_ratio,
+        disp12_max_diff=cfg.disp12_max_diff,
+        subpixel=cfg.subpixel)
+    disp = speckle_filter(disp, cfg.speckle_window_size, cfg.speckle_range)
+    if cfg.wls:
+        filtered = wls_filter_disparity(
+            disp, left_gray, lmbda=cfg.lmbda, sigma_color=cfg.sigma,
+            num_iter=cfg.wls_iters)
+    else:
+        filtered = disp
+    return disp, filtered
+
+
+class StereoMatcher:
+    """Compiled stereo matcher for a fixed config (+ shape, via jit cache).
+
+    >>> matcher = StereoMatcher(DisparityConfig(num_disparities=128))
+    >>> raw, filtered = matcher(left_gray, right_gray)
+    """
+
+    def __init__(self, config: DisparityConfig | None = None):
+        self.config = config or DisparityConfig()
+        cfg = self.config
+        self._fn = jax.jit(functools.partial(_match_core, cfg=cfg))
+
+    def __call__(self, left_gray, right_gray):
+        l = jnp.asarray(np.asarray(left_gray), jnp.float32)
+        r = jnp.asarray(np.asarray(right_gray), jnp.float32)
+        return self._fn(l, r)
+
+    def batched(self, lefts, rights):
+        """vmap over a leading batch axis (frames of a capture session)."""
+        l = jnp.asarray(np.asarray(lefts), jnp.float32)
+        r = jnp.asarray(np.asarray(rights), jnp.float32)
+        return jax.vmap(self._fn)(l, r)
+
+
+def compute_disparity(gray_l, gray_r, config: DisparityConfig | None = None,
+                      method: str = "SGBM"):
+    """Reference-parity surface: (displ16, filtered16) int16 disparity*16.
+
+    ``method``: "SGBM" (census+SGM) or "BM" (SAD block matching, WTA only)
+    matching ``stereo_vision/stereo_vision.py:132-184``'s two modes.
+    """
+    cfg = config or DisparityConfig()
+    if method.upper() == "BM":
+        cfg = cfg.replace(cost="sad", num_paths=2, p1=0.0, p2=1e-3)
+    matcher = StereoMatcher(cfg)
+    raw, filtered = matcher(gray_l, gray_r)
+    return (np.asarray(to_fixed_point(raw, cfg.min_disparity)),
+            np.asarray(to_fixed_point(filtered, cfg.min_disparity)))
+
+
+def run_pipeline(pose_l, pose_r, K_l, K_r, image_l, image_r,
+                 config: DisparityConfig | None = None,
+                 alpha: float = -1.0,
+                 reproject: bool = True,
+                 ply_path: str | None = None,
+                 q_override: np.ndarray | None = None,
+                 disparity_band: tuple[float, float] | None = None) -> StereoResult:
+    """Full flagship flow on one pair (``disparity_calculation.py`` parity).
+
+    ``q_override`` reproduces the reference's hard-coded-Q quirk
+    (:293-299); ``disparity_band`` its (10, 20) PLY mask (:312).
+    """
+    cfg = config or DisparityConfig()
+    rect_l, rect_r, rectification = rectify_pair(
+        pose_l, pose_r, K_l, K_r, np.asarray(image_l), np.asarray(image_r),
+        alpha=alpha)
+    gray_l = to_grayscale(np.asarray(rect_l))
+    gray_r = to_grayscale(np.asarray(rect_r))
+
+    matcher = StereoMatcher(cfg)
+    raw, filtered = matcher(gray_l, gray_r)
+    result = StereoResult(
+        disparity=np.asarray(raw),
+        disparity_filtered=np.asarray(filtered),
+        rect_left=np.asarray(rect_l), rect_right=np.asarray(rect_r),
+        rectification=rectification)
+
+    if reproject or ply_path:
+        Q = q_override if q_override is not None else rectification.Q
+        pts = np.asarray(reproject_image_to_3d(filtered, Q))
+        result.points = pts
+        if ply_path:
+            disp = result.disparity_filtered
+            if disparity_band is not None:
+                lo, hi = disparity_band
+                mask = (disp > lo) & (disp < hi)
+            else:
+                mask = np.isfinite(result.disparity)
+            colors = np.asarray(rect_l)
+            if colors.ndim == 2:
+                colors = np.stack([colors] * 3, axis=-1)
+            n = write_ply(ply_path, pts[mask], colors[mask])
+            result.meta["ply_vertices"] = n
+    return result

@@ -22,9 +22,12 @@ from stereo_match_tpu.eval.metrics import (
 def test_config_defaults_match_reference_settings():
     c = DisparityConfig()
     assert c.num_disparities == 160 and c.block_size == 5
-    assert c.P1 == 8 * 1 * 25 and c.P2 == 32 * 1 * 25
-    c3 = c.replace(channels=3)
-    assert c3.P1 == 8 * 3 * 25  # reference P1=8*3*w^2 (stereo_vision.py:148)
+    # census penalties scale with descriptor bits (24 for 5x5)
+    assert c.P1 == pytest.approx(8.0) and c.P2 == pytest.approx(96.0)
+    cbt = c.replace(cost="bt", channels=3)
+    assert cbt.P1 == 8 * 3 * 25  # reference P1=8*3*w^2 (stereo_vision.py:148)
+    assert cbt.P2 == 32 * 3 * 25
+    assert c.replace(p1=7.0).P1 == 7.0
 
 
 def test_config_rounds_disparities_to_16():

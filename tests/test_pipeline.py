@@ -1,0 +1,112 @@
+"""End-to-end pipeline: StereoMatcher, parity surface, full flagship flow."""
+
+import numpy as np
+import pytest
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.data.ply import read_ply
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+from stereo_match_tpu.eval.metrics import bad_pixel_rate, end_point_error
+from stereo_match_tpu.pipeline.stereo import (
+    StereoMatcher, compute_disparity, run_pipeline,
+)
+
+
+CFG = DisparityConfig(num_disparities=32, uniqueness_ratio=0,
+                      lmbda=500.0, sigma=6.0)
+
+
+def test_stereo_matcher_box_scene():
+    gt = box_scene(96, 128)
+    left, right = random_dot_pair(96, 128, gt, blur=0.8)
+    raw, filtered = StereoMatcher(CFG)(left, right)
+    raw, filtered = np.asarray(raw), np.asarray(filtered)
+    assert float(bad_pixel_rate(raw, gt, 3.0, 0.0)) < 0.03
+    # WLS output is dense and at least as accurate on valid pixels
+    assert np.isfinite(filtered).all()
+    assert float(end_point_error(filtered, gt)) < 1.0
+
+
+def test_stereo_matcher_batched():
+    gt = box_scene(48, 64)
+    l1, r1 = random_dot_pair(48, 64, gt, blur=0.8, seed=1)
+    l2, r2 = random_dot_pair(48, 64, gt, blur=0.8, seed=2)
+    m = StereoMatcher(DisparityConfig(num_disparities=16, uniqueness_ratio=0,
+                                      wls=False))
+    raw, _ = m.batched(np.stack([l1, l2]), np.stack([r1, r2]))
+    assert raw.shape == (2, 48, 64)
+    single, _ = m(l1, r1)
+    np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(single),
+                               equal_nan=True, atol=1e-5)
+
+
+def test_compute_disparity_parity_surface():
+    gt = box_scene(48, 64)
+    left, right = random_dot_pair(48, 64, gt, blur=0.8)
+    displ, filtered = compute_disparity(left, right,
+                                        CFG.replace(num_disparities=16))
+    assert displ.dtype == np.int16 and filtered.dtype == np.int16
+    # int16 disparity*16 contract: valid values = 16 * d
+    valid = displ != -16
+    med = np.median(displ[valid]) / 16.0
+    assert 3.0 <= med <= 13.0
+
+
+def test_compute_disparity_bm_method():
+    gt = box_scene(48, 64)
+    left, right = random_dot_pair(48, 64, gt, blur=0.8)
+    displ, _ = compute_disparity(left, right,
+                                 CFG.replace(num_disparities=16, wls=False),
+                                 method="BM")
+    d = np.where(displ == -16, np.nan, displ / 16.0)
+    assert float(bad_pixel_rate(d, gt, 3.0, 0.0)) < 0.15
+
+
+def test_run_pipeline_full(tmp_path):
+    # Fronto-parallel plane at Z=2m seen by two cameras 0.1m apart --
+    # rectification is identity-ish, disparity = f*B/Z.
+    H, W = 96, 128
+    f = 200.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]])
+    Z, B = 2.0, 0.1
+    d_true = f * B / Z  # = 10 px
+    gt = np.full((H, W), d_true, np.float32)
+    left, right = random_dot_pair(H, W, gt, blur=0.8)
+    pose_l = np.eye(4)
+    pose_r = np.eye(4)
+    pose_r[:3, 3] = [B, 0, 0]
+
+    ply = str(tmp_path / "cloud.ply")
+    res = run_pipeline(pose_l, pose_r, K, K,
+                       np.stack([left] * 3, -1), np.stack([right] * 3, -1),
+                       config=CFG.replace(num_disparities=16),
+                       ply_path=ply)
+    valid = np.isfinite(res.disparity)
+    assert valid.mean() > 0.8
+    assert abs(np.nanmedian(res.disparity) - d_true) < 0.5
+    # reprojected depth ~ Z
+    z = res.points[..., 2][valid]
+    assert abs(np.median(z) - Z) < 0.15
+    pts, cols = read_ply(ply)
+    assert len(pts) == res.meta["ply_vertices"] > 1000
+
+
+def test_run_pipeline_q_override_and_band(tmp_path):
+    # The reference quirks: hard-coded Q + disparity band mask
+    H, W = 48, 64
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    gt = box_scene(H, W, background=4.0, foreground=12.0)
+    left, right = random_dot_pair(H, W, gt, blur=0.8)
+    pose_l, pose_r = np.eye(4), np.eye(4)
+    pose_r[:3, 3] = [0.1, 0, 0]
+    Q = np.array([[1, 0, 0, -32], [0, 1, 0, -24],
+                  [0, 0, 0, 100.0], [0, 0, 1 / 22.0, 0]])
+    ply = str(tmp_path / "band.ply")
+    res = run_pipeline(pose_l, pose_r, K, K,
+                       np.stack([left] * 3, -1), np.stack([right] * 3, -1),
+                       config=CFG.replace(num_disparities=16),
+                       q_override=Q, ply_path=ply,
+                       disparity_band=(10.0, 20.0))
+    # only foreground-band pixels exported
+    n_band = ((res.disparity_filtered > 10) & (res.disparity_filtered < 20)).sum()
+    assert res.meta["ply_vertices"] == n_band

@@ -1,0 +1,155 @@
+"""WLS smoother, speckle filter, and image filters."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_match_tpu.ops.filters import (
+    bilateral_filter, gaussian_blur, image_measure, nl_means_denoise, unsharp_mask,
+)
+from stereo_match_tpu.ops.speckle import speckle_filter
+from stereo_match_tpu.ops.wls import (
+    _tridiagonal_smooth_rows, fast_global_smoother, lr_confidence,
+    wls_filter_disparity,
+)
+
+
+# ------------------------------------------------------------------- WLS ----
+
+def test_tridiagonal_solver_exact(rng):
+    """The Thomas scan must solve (I + lam*A) u = f exactly."""
+    H, W = 4, 12
+    f = rng.uniform(0, 10, (H, W)).astype(np.float32)
+    w = rng.uniform(0.1, 1.0, (H, W - 1)).astype(np.float32)
+    lam = np.float32(3.0)
+    u = np.asarray(_tridiagonal_smooth_rows(jnp.asarray(f), jnp.asarray(w), lam))
+    for y in range(H):
+        A = np.zeros((W, W))
+        for x in range(W - 1):
+            A[x, x] += lam * w[y, x]
+            A[x + 1, x + 1] += lam * w[y, x]
+            A[x, x + 1] -= lam * w[y, x]
+            A[x + 1, x] -= lam * w[y, x]
+        expected = np.linalg.solve(np.eye(W) + A, f[y])
+        np.testing.assert_allclose(u[y], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_fgs_smooths_flat_regions_keeps_edges():
+    H, W = 40, 60
+    guide = np.zeros((H, W), np.float32)
+    guide[:, W // 2:] = 200.0              # strong vertical edge
+    rng = np.random.default_rng(0)
+    noisy = guide / 40.0 + rng.normal(0, 1.0, (H, W)).astype(np.float32)
+    out = np.asarray(fast_global_smoother(jnp.asarray(noisy), jnp.asarray(guide),
+                                          lmbda=128.0, sigma_color=8.0))
+    left_var = out[:, : W // 2 - 2].std()
+    # noise crushed within regions
+    assert left_var < noisy[:, : W // 2 - 2].std() / 3
+    # step preserved across the guide edge
+    step = out[:, W // 2 + 2:].mean() - out[:, : W // 2 - 2].mean()
+    assert step > 3.0
+
+
+def test_wls_fills_invalids():
+    d = np.full((20, 30), 8.0, np.float32)
+    d[5:10, 5:15] = np.nan
+    guide = np.full((20, 30), 100.0, np.float32)
+    out = np.asarray(wls_filter_disparity(jnp.asarray(d), jnp.asarray(guide),
+                                          lmbda=100.0, sigma_color=5.0))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 8.0, atol=0.2)
+
+
+def test_wls_respects_confidence():
+    d = np.full((16, 24), 5.0, np.float32)
+    d[:, 12:] = 50.0
+    conf = np.ones_like(d)
+    conf[:, 12:] = 0.0          # distrust the right half entirely
+    guide = np.zeros_like(d)
+    out = np.asarray(wls_filter_disparity(jnp.asarray(d), jnp.asarray(guide),
+                                          lmbda=50.0, sigma_color=100.0,
+                                          confidence=jnp.asarray(conf)))
+    assert abs(out[:, 20].mean() - 5.0) < 2.0   # in-filled from trusted half
+
+
+def test_lr_confidence():
+    dl = np.full((4, 16), 4.0, np.float32)
+    dr = np.full((4, 16), 4.0, np.float32)
+    c = np.asarray(lr_confidence(jnp.asarray(dl), jnp.asarray(dr), 1.0))
+    assert c[:, 6:].min() == 1.0
+    dr[:, 4] = 20.0    # breaks consistency for x_l = 8
+    c = np.asarray(lr_confidence(jnp.asarray(dl), jnp.asarray(dr), 1.0))
+    assert c[0, 8] == 0.0
+
+
+# --------------------------------------------------------------- speckle ----
+
+def test_speckle_removes_small_blob_keeps_large():
+    d = np.full((30, 40), 10.0, np.float32)
+    d[5:7, 5:7] = 50.0           # 4-px speckle
+    out = np.asarray(speckle_filter(jnp.asarray(d), 20, 2.0))
+    assert np.isnan(out[5:7, 5:7]).all()
+    # background (one big component) survives
+    assert np.isfinite(out[15:, 15:]).all()
+
+
+def test_speckle_disabled():
+    d = np.full((8, 8), 3.0, np.float32)
+    out = np.asarray(speckle_filter(jnp.asarray(d), 0, 2.0))
+    np.testing.assert_array_equal(out, d)
+
+
+def test_speckle_matches_opencv(rng):
+    d = (rng.uniform(0, 3, (40, 50)) ** 3).astype(np.float32)
+    d = np.round(d * 16).astype(np.int16)
+    ref = d.copy()
+    cv2.filterSpeckles(ref, -16, 30, 2 * 16)
+    mine16 = np.asarray(speckle_filter(
+        jnp.asarray(d.astype(np.float32) / 16.0), 30, 2.0))
+    mine_invalid = ~np.isfinite(mine16)
+    ref_invalid = ref == -16
+    agreement = (mine_invalid == ref_invalid).mean()
+    assert agreement > 0.97, agreement
+
+
+# --------------------------------------------------------------- filters ----
+
+def test_gaussian_blur_matches_cv2(rng):
+    img = rng.uniform(0, 255, (30, 40)).astype(np.float32)
+    mine = np.asarray(gaussian_blur(jnp.asarray(img), sigma=1.5))
+    ref = cv2.GaussianBlur(img, (0, 0), 1.5, borderType=cv2.BORDER_REPLICATE)
+    np.testing.assert_allclose(mine, ref, atol=0.5)
+
+
+def test_unsharp_sharpens_edges():
+    img = np.zeros((16, 32), np.float32)
+    img[:, 16:] = 100.0
+    out = np.asarray(unsharp_mask(jnp.asarray(img), 1.0, 5.0))
+    # overshoot at the edge, clipped to [0, 255]
+    assert out.max() > 100.0 and out.max() <= 255.0
+    assert out.min() == 0.0
+
+
+def test_bilateral_preserves_edges(rng):
+    img = np.zeros((20, 30), np.float32)
+    img[:, 15:] = 100.0
+    noisy = img + rng.normal(0, 3, img.shape).astype(np.float32)
+    out = np.asarray(bilateral_filter(jnp.asarray(noisy), 3, 2.0, 20.0))
+    assert out[:, :12].std() < noisy[:, :12].std()
+    edge = out[:, 17:].mean() - out[:, :13].mean()
+    assert edge > 90.0
+
+
+def test_nl_means_denoises(rng):
+    clean = np.tile(np.linspace(0, 200, 32, dtype=np.float32), (24, 1))
+    noisy = clean + rng.normal(0, 10, clean.shape).astype(np.float32)
+    out = np.asarray(nl_means_denoise(jnp.asarray(noisy), h=12.0))
+    assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.7
+
+
+def test_image_measure_runs():
+    img = np.random.default_rng(0).uniform(0, 255, (16, 16)).astype(np.float32)
+    out = np.asarray(image_measure(jnp.asarray(img)))
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 255
