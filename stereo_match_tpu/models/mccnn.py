@@ -1,0 +1,238 @@
+"""MC-CNN learned matching cost (Flax), TPU-native.
+
+Replaces the reference's external Lua/Torch+CUDA MC-CNN (SURVEY.md §2 N8,
+``mc_cnn/script.py:9-11``): a siamese convolutional feature tower whose
+feature dot-product defines the matching cost. Two architectures mirror the
+reference's external tool modes (`fast` = dot-product similarity, `accurate`
+= deeper tower; the reference invokes ``kitti fast`` and ``mb slow``).
+
+The cost volume contract matches the framework's planes layout (D, H, W)
+— the reference's equivalent artifact is the (1, disp_max, W, H) float32
+``left.bin`` memmap consumed at ``mapTo3D_mc_cnn.py:71``.
+
+Training is patch-pair hinge-loss (positive at GT disparity, negative at a
+random offset), data-parallel over the mesh "data" axis with channel-
+sharded conv kernels over "model" (GSPMD via NamedSharding param rules).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class MCCNNFeatures(nn.Module):
+    """Siamese feature tower: N 3x3 convs, L2-normalized output features."""
+    features: int = 64
+    num_layers: int = 4
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (..., H, W, C_in); grayscale C_in=1, scaled to [0,1]
+        for i in range(self.num_layers):
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding="SAME", name=f"conv{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+        return x / norm
+
+
+def make_model(arch: str = "fast") -> MCCNNFeatures:
+    """`fast` (4x64, the KITTI-fast analog) or `accurate` (5x112)."""
+    if arch == "fast":
+        return MCCNNFeatures(features=64, num_layers=4)
+    if arch == "accurate":
+        return MCCNNFeatures(features=112, num_layers=5)
+    raise ValueError(f"unknown arch: {arch}")
+
+
+def init_params(model: MCCNNFeatures, rng: jax.Array,
+                patch: tuple[int, int] = (16, 16)) -> Any:
+    return model.init(rng, jnp.zeros((1, *patch, 1)))
+
+
+def _normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    img = jnp.asarray(img, jnp.float32)
+    return (img - jnp.mean(img)) / (jnp.std(img) + 1e-6)
+
+
+def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
+                      left: jnp.ndarray, right: jnp.ndarray,
+                      num_disparities: int, min_disparity: int = 0,
+                      scale: float = 24.0) -> jnp.ndarray:
+    """(D, H, W) learned cost: scale * (1 - <f_L(x), f_R(x-d)>) / 2.
+
+    ``scale`` puts the cost in the same dynamic range as the census
+    Hamming cost (~descriptor bits) so the SGM P1/P2 defaults carry over.
+    """
+    from stereo_match_tpu.ops.cost_volume import (INVALID_COST, _invalid_mask,
+                                                  _shift_plane)
+    l = _normalize_image(left)[None, ..., None]
+    r = _normalize_image(right)[None, ..., None]
+    fl = model.apply(params, l)[0]          # (H, W, F)
+    fr = model.apply(params, r)[0]
+    fl = jnp.moveaxis(fl, -1, 0)            # (F, H, W): planes layout
+    fr = jnp.moveaxis(fr, -1, 0)
+
+    def plane(d):
+        sim = jnp.sum(fl * _shift_plane(fr, d), axis=0)   # (H, W) in [-1, 1]
+        return scale * (1.0 - sim) * 0.5
+
+    ds = min_disparity + jnp.arange(num_disparities)
+    vol = jax.vmap(plane)(ds)
+    mask = _invalid_mask(left.shape[-1], num_disparities, min_disparity)
+    return jnp.where(mask, INVALID_COST, vol)
+
+
+# ------------------------------------------------------------- training ----
+
+def sample_training_patches(left: np.ndarray, right: np.ndarray,
+                            gt_disparity: np.ndarray, n: int,
+                            patch: int = 16, neg_offset: tuple[int, int] = (4, 9),
+                            seed: int = 0):
+    """Host-side patch miner: (anchor, positive, negative) uint8 stacks.
+
+    Anchors are sampled where GT is valid and the matching patch fits;
+    negatives shift the right patch by a random offset in ±[lo, hi) —
+    the MC-CNN training recipe.
+    """
+    rng = np.random.default_rng(seed)
+    H, W = left.shape
+    r = patch // 2
+    ys, xs = np.where(np.isfinite(gt_disparity))
+    keep = (ys >= r) & (ys < H - r) & (xs >= r) & (xs < W - r)
+    ys, xs = ys[keep], xs[keep]
+    d = gt_disparity[ys, xs]
+    xr = np.round(xs - d).astype(int)
+    lo, hi = neg_offset
+    off = rng.integers(lo, hi, size=len(ys)) * rng.choice([-1, 1], size=len(ys))
+    xn = xr + off
+    ok = (xr >= r) & (xr < W - r) & (xn >= r) & (xn < W - r)
+    ys, xs, xr, xn = ys[ok], xs[ok], xr[ok], xn[ok]
+    if len(ys) == 0:
+        raise ValueError("no valid training anchors")
+    pick = rng.choice(len(ys), size=min(n, len(ys)), replace=len(ys) < n)
+    ys, xs, xr, xn = ys[pick], xs[pick], xr[pick], xn[pick]
+
+    def crop(img, yy, xx):
+        out = np.empty((len(yy), patch, patch), np.float32)
+        for i, (y, x) in enumerate(zip(yy, xx)):
+            out[i] = img[y - r:y + r, x - r:x + r]
+        return out
+
+    return crop(left, ys, xs), crop(right, ys, xr), crop(right, ys, xn)
+
+
+def hinge_loss(model: MCCNNFeatures, params: Any, anchor, positive, negative,
+               margin: float = 0.2) -> jnp.ndarray:
+    """max(0, margin + s_neg - s_pos) on center-pixel feature similarity."""
+    def center_feat(x):
+        f = model.apply(params, x[..., None])
+        c = f.shape[1] // 2
+        return f[:, c, c, :]
+
+    fa = center_feat(anchor)
+    s_pos = jnp.sum(fa * center_feat(positive), axis=-1)
+    s_neg = jnp.sum(fa * center_feat(negative), axis=-1)
+    return jnp.mean(jnp.maximum(0.0, margin + s_neg - s_pos))
+
+
+PARTITION_RULES = (
+    # conv kernels (kh, kw, in, out): shard output channels over "model"
+    (r"conv\d+/kernel", P(None, None, None, "model")),
+    (r"conv\d+/bias", P("model")),
+    (r".*", P()),
+)
+
+
+def match_partition_rules(rules, params) -> Any:
+    """Regex path -> PartitionSpec pytree (the GSPMD pattern; cf.
+    SNIPPETS.md [1]/[3] for the public-domain shape of this helper)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def spec_for(path):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for rule, spec in rules:
+            if re.search(rule, name):
+                return spec
+        return P()
+
+    return jax.tree_util.tree_unflatten(treedef,
+                                        [spec_for(path) for path, _ in flat])
+
+
+def shard_params(params, mesh: Mesh):
+    specs = match_partition_rules(PARTITION_RULES, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def make_train_step(model: MCCNNFeatures, optimizer, mesh: Mesh | None = None,
+                    margin: float = 0.2):
+    """Jitted (params, opt_state, batch) -> (params, opt_state, loss).
+
+    With a mesh, the batch is sharded over "data" (gradients all-reduced by
+    GSPMD) and params follow PARTITION_RULES over "model".
+    """
+
+    def loss_fn(params, batch):
+        a, p, n = batch
+        return hinge_loss(model, params, a, p, n, margin)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    def sharded_step(params, opt_state, batch):
+        data_sharding = NamedSharding(mesh, P("data"))
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, data_sharding), batch)
+        return step(params, opt_state, batch)
+
+    return jax.jit(sharded_step)
+
+
+def train(model: MCCNNFeatures, params, batches, learning_rate: float = 3e-3,
+          mesh: Mesh | None = None):
+    """Simple training loop over an iterable of (anchor, pos, neg) batches."""
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(model, optimizer, mesh)
+    losses = []
+    for batch in batches:
+        batch = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), tuple(batch))
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        losses.append(float(loss))
+    return params, losses
+
+
+def save_params(path: str, params) -> None:
+    """Checkpoint via orbax (the reference's model artifact analog of the
+    ``-net_fname …t7`` files, ``mc_cnn/script.py:9``)."""
+    import orbax.checkpoint as ocp
+    import os
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str):
+    import orbax.checkpoint as ocp
+    import os
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

@@ -1,8 +1,15 @@
-"""Matching-cost volume construction (jittable JAX reference path).
+"""Matching-cost volume construction (jittable JAX).
 
-Builds (H, W, D) cost volumes — D on the last (lane) axis, which is the
-TPU-native layout (D=128 is exactly one lane tile) — for the cost families
-the reference delegates to native code (SURVEY.md §2 N2):
+Builds cost volumes in the framework's canonical **planes layout**
+``(D, H, W)``: W rides the TPU lane axis, H the sublanes, and the disparity
+hypothesis d is the major axis. This is the layout every downstream stage
+(SGM scans, WTA, LR readout) consumes with *slices only* — shifting the
+right image by d, shifting disparity neighbors d±1, and reading the
+right-view cost C_R(x, d) = C_L(x + d, d) are all contiguous slices, never
+gathers.
+
+Cost families (the native algorithms the reference delegates, SURVEY.md §2
+N2):
 
 * census + Hamming (default; robust, integer VPU ops),
 * SAD / SSD block costs (the ``StereoBM`` capability,
@@ -10,9 +17,6 @@ the reference delegates to native code (SURVEY.md §2 N2):
 * Birchfield–Tomasi on x-Sobel prefiltered images with ``pre_filter_cap``
   (the pixel cost inside OpenCV's ``StereoSGBM``, implicit at
   ``stereo_vision/stereo_vision.py:153``).
-
-A Pallas fused kernel covers the hot census path (`ops/pallas_kernels.py`);
-these XLA versions are the correctness reference and the CPU fallback.
 """
 
 from __future__ import annotations
@@ -29,38 +33,55 @@ from stereo_match_tpu.ops.census import census_transform, hamming_distance
 INVALID_COST = jnp.float32(1e4)
 
 
-def _shift_right_image(arr: jnp.ndarray, d: int | jnp.ndarray) -> jnp.ndarray:
-    """arr[..., x] -> arr[..., x - d] with edge fill; works under vmap."""
-    W = arr.shape[1]
-    idx = jnp.arange(W) - d
-    idx = jnp.clip(idx, 0, W - 1)
-    return jnp.take(arr, idx, axis=1)
+def _shift_plane(arr: jnp.ndarray, d) -> jnp.ndarray:
+    """(..., W) plane sampled at x-d: out[..., x] = arr[..., x-d].
+
+    Static or traced ``d``; the x-d < 0 region holds the edge replica (it
+    is overwritten by INVALID_COST downstream).
+    """
+    W = arr.shape[-1]
+    pad = [(0, 0)] * (arr.ndim - 1) + [(W, 0)]
+    padded = jnp.pad(arr, pad, mode="edge")
+    start = (0,) * (arr.ndim - 1) + (W - d,)
+    return jax.lax.dynamic_slice(padded, start, arr.shape)
 
 
-def _disparity_mask(W: int, disparities: jnp.ndarray) -> jnp.ndarray:
-    """(W, D) bool: True where x - d >= 0 (right sample in frame)."""
-    x = jnp.arange(W)[:, None]
-    return x - disparities[None, :] >= 0
+def _invalid_mask(W: int, num_disparities: int, min_disparity: int) -> jnp.ndarray:
+    """(D, 1, W) bool: True where x - d < 0 (no right sample)."""
+    d = (min_disparity + jnp.arange(num_disparities))[:, None, None]
+    x = jnp.arange(W)[None, None, :]
+    return x < d
+
+
+def _stack_over_disparities(plane_fn, num_disparities: int, min_disparity: int,
+                            W: int) -> jnp.ndarray:
+    """vmap a per-disparity (H, W) plane builder into a (D, H, W) volume."""
+    ds = min_disparity + jnp.arange(num_disparities)
+    vol = jax.vmap(plane_fn)(ds)
+    mask = _invalid_mask(W, num_disparities, min_disparity)
+    return jnp.where(mask, INVALID_COST, vol)
 
 
 def census_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                        num_disparities: int, min_disparity: int = 0,
                        window: tuple[int, int] = (5, 5)) -> jnp.ndarray:
-    """(H, W, D) float32 Hamming cost between census descriptors."""
+    """(D, H, W) float32 Hamming cost between census descriptors."""
     cl = census_transform(left, window)    # (H, W, words)
     cr = census_transform(right, window)
-    disparities = min_disparity + jnp.arange(num_disparities)
+    cl = jnp.moveaxis(cl, -1, 0)           # (words, H, W): planes layout too
+    cr = jnp.moveaxis(cr, -1, 0)
 
-    def cost_at(d):
-        return hamming_distance(cl, _shift_right_image(cr, d)).astype(jnp.float32)
+    def plane(d):
+        shifted = _shift_plane(cr, d)
+        x = jax.lax.population_count(jnp.bitwise_xor(cl, shifted))
+        return jnp.sum(x, axis=0).astype(jnp.float32)
 
-    vol = jax.vmap(cost_at, out_axes=-1)(disparities)  # (H, W, D)
-    mask = _disparity_mask(left.shape[1], disparities)
-    return jnp.where(mask[None], vol, INVALID_COST)
+    return _stack_over_disparities(plane, num_disparities, min_disparity,
+                                   left.shape[-1])
 
 
 def _box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Mean filter over a size x size window on leading (H, W) axes.
+    """Mean filter over a size x size window on the trailing (H, W) axes.
 
     Separable running-sum via cumsum (O(HW) independent of window size);
     edge handling divides by the true in-frame window area.
@@ -77,30 +98,26 @@ def _box_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
         lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - size, axis=axis)
         return hi - lo
 
-    ones = jnp.ones(x.shape[:2], jnp.float32)
-    if x.ndim == 3:
-        ones = ones[..., None]
-    summed = along(along(x.astype(jnp.float32), 0), 1)
-    counts = along(along(ones, 0), 1)
+    ones = jnp.ones(x.shape[-2:], jnp.float32)
+    summed = along(along(x.astype(jnp.float32), -2), -1)
+    counts = along(along(ones, -2), -1)
     return summed / counts
 
 
 def sad_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                     num_disparities: int, min_disparity: int = 0,
                     block_size: int = 5, squared: bool = False) -> jnp.ndarray:
-    """(H, W, D) block SAD (or SSD) cost — the StereoBM capability."""
+    """(D, H, W) block SAD (or SSD) cost — the StereoBM capability."""
     l = jnp.asarray(left, jnp.float32)
     r = jnp.asarray(right, jnp.float32)
-    disparities = min_disparity + jnp.arange(num_disparities)
 
-    def cost_at(d):
-        diff = l - _shift_right_image(r, d)
+    def plane(d):
+        diff = l - _shift_plane(r, d)
         e = diff * diff if squared else jnp.abs(diff)
         return _box_filter(e, block_size)
 
-    vol = jax.vmap(cost_at, out_axes=-1)(disparities)
-    mask = _disparity_mask(l.shape[1], disparities)
-    return jnp.where(mask[None], vol, INVALID_COST)
+    return _stack_over_disparities(plane, num_disparities, min_disparity,
+                                   l.shape[-1])
 
 
 def sobel_x_clipped(image: jnp.ndarray, pre_filter_cap: int = 63) -> jnp.ndarray:
@@ -117,52 +134,40 @@ def sobel_x_clipped(image: jnp.ndarray, pre_filter_cap: int = 63) -> jnp.ndarray
     return jnp.clip(gx, -cap, cap) + cap
 
 
-def _bt_pixel_cost(l: jnp.ndarray, r: jnp.ndarray, d) -> jnp.ndarray:
-    """Birchfield–Tomasi sampling-insensitive |difference| at disparity d.
-
-    Compares each left pixel against the interval spanned by the right
-    pixel and its half-sample neighbors (and symmetrically), which removes
-    sampling aliasing on slanted surfaces.
-    """
-    rs = _shift_right_image(r, d)
-    # Half-sample interpolants of the shifted right signal along x.
-    r_prev = jnp.concatenate([rs[:, :1], rs[:, :-1]], axis=1)
-    r_next = jnp.concatenate([rs[:, 1:], rs[:, -1:]], axis=1)
-    r_minus = (rs + r_prev) / 2.0
-    r_plus = (rs + r_next) / 2.0
-    r_lo = jnp.minimum(jnp.minimum(r_minus, r_plus), rs)
-    r_hi = jnp.maximum(jnp.maximum(r_minus, r_plus), rs)
-    d_lr = jnp.maximum(0.0, jnp.maximum(l - r_hi, r_lo - l))
-
-    l_prev = jnp.concatenate([l[:, :1], l[:, :-1]], axis=1)
-    l_next = jnp.concatenate([l[:, 1:], l[:, -1:]], axis=1)
-    l_minus = (l + l_prev) / 2.0
-    l_plus = (l + l_next) / 2.0
-    l_lo = jnp.minimum(jnp.minimum(l_minus, l_plus), l)
-    l_hi = jnp.maximum(jnp.maximum(l_minus, l_plus), l)
-    d_rl = jnp.maximum(0.0, jnp.maximum(rs - l_hi, l_lo - rs))
-    return jnp.minimum(d_lr, d_rl)
+def _half_sample_envelope(sig: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Min/max of a signal and its half-sample interpolants along x."""
+    prev = jnp.concatenate([sig[:, :1], sig[:, :-1]], axis=1)
+    nxt = jnp.concatenate([sig[:, 1:], sig[:, -1:]], axis=1)
+    lo = jnp.minimum(jnp.minimum((sig + prev) / 2, (sig + nxt) / 2), sig)
+    hi = jnp.maximum(jnp.maximum((sig + prev) / 2, (sig + nxt) / 2), sig)
+    return lo, hi
 
 
 def bt_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                    num_disparities: int, min_disparity: int = 0,
                    pre_filter_cap: int = 63, block_size: int = 5) -> jnp.ndarray:
-    """(H, W, D) BT cost on x-Sobel prefiltered images, box-aggregated.
+    """(D, H, W) Birchfield–Tomasi cost on x-Sobel prefiltered images.
 
-    The closest analog of OpenCV SGBM's pixel cost (SURVEY.md §7 hard
-    parts): gradient-domain BT with ``pre_filter_cap``, then block_size
-    box aggregation.
+    Sampling-insensitive |difference|: each left pixel is compared against
+    the interval spanned by the right pixel's half-sample neighbors (and
+    symmetrically), removing aliasing on slanted surfaces; then block_size
+    box aggregation. Closest analog of OpenCV SGBM's pixel cost.
     """
     ls = sobel_x_clipped(left, pre_filter_cap)
     rs = sobel_x_clipped(right, pre_filter_cap)
-    disparities = min_disparity + jnp.arange(num_disparities)
+    l_lo, l_hi = _half_sample_envelope(ls)
+    r_lo, r_hi = _half_sample_envelope(rs)
 
-    def cost_at(d):
-        return _box_filter(_bt_pixel_cost(ls, rs, d), block_size)
+    def plane(d):
+        rsd = _shift_plane(rs, d)
+        rlod = _shift_plane(r_lo, d)
+        rhid = _shift_plane(r_hi, d)
+        d_lr = jnp.maximum(0.0, jnp.maximum(ls - rhid, rlod - ls))
+        d_rl = jnp.maximum(0.0, jnp.maximum(rsd - l_hi, l_lo - rsd))
+        return _box_filter(jnp.minimum(d_lr, d_rl), block_size)
 
-    vol = jax.vmap(cost_at, out_axes=-1)(disparities)
-    mask = _disparity_mask(ls.shape[1], disparities)
-    return jnp.where(mask[None], vol, INVALID_COST)
+    return _stack_over_disparities(plane, num_disparities, min_disparity,
+                                   ls.shape[-1])
 
 
 @functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
@@ -173,7 +178,10 @@ def build_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                       cost: str = "census", block_size: int = 5,
                       window: tuple[int, int] = (5, 5),
                       pre_filter_cap: int = 63) -> jnp.ndarray:
-    """Dispatch to the named cost family (census | sad | ssd | bt)."""
+    """Dispatch to the named cost family (census | sad | ssd | bt).
+
+    Returns the (D, H, W) planes-layout volume.
+    """
     if cost == "census":
         return census_cost_volume(left, right, num_disparities, min_disparity, window)
     if cost == "sad":

@@ -11,16 +11,19 @@ Implements the SGM recurrence the reference gets from OpenCV's C++
 
 aggregated over ``num_paths`` directions (8, 4, or 2).
 
-TPU-first design: every direction is *canonicalized* to a single primitive —
-a top-to-bottom scan over the leading axis of a (S, N, D) volume — by a
-composition of transpose / flip / shear. Each scan step is elementwise math
-plus a D-axis min on an (N, D) slab with D on the lanes, which is exactly
-the VPU's preferred shape; diagonal paths become vertical ones after a shear
-(gather) with zero-filled out-of-frame cells, whose costs are arranged so
-the recurrence self-resets at the frame boundary (carry contribution 0).
+TPU-first design. Volumes are in planes layout (D, H, W) — W on lanes, D on
+the major axis — so every operation in the scan step is a *slice*: the d±1
+neighbors are major-axis shifts, and min_k is a reduction over the major
+axis. Every direction is canonicalized to one primitive — a scan along axis
+1 of a (D, S, N) volume — by transpose (horizontal paths), flip (reverse
+paths), and shear (diagonal paths; out-of-frame cells are zero-filled,
+which makes the recurrence self-reset at the frame boundary since a zero
+carry contributes exactly 0).
 
-The multi-chip variant (row-sharded with ppermute'd carries) lives in
-``parallel/tiling.py``; the fused Pallas kernel in ``ops/pallas_kernels.py``.
+This module is the correctness reference and CPU fallback; the fused Pallas
+kernel (``ops/pallas_kernels.py``) implements the same canonical scan with
+VMEM-resident carries. The multi-chip variant (row-sharded with ppermute'd
+carries) lives in ``parallel/tiling.py``.
 """
 
 from __future__ import annotations
@@ -39,41 +42,45 @@ PATH_DIRECTIONS_8 = (
 )
 
 
-def scan_direction(cost: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
-    """The canonical SGM scan: accumulate along axis 0 of (S, N, D).
+def scan_direction(cost: jnp.ndarray, p1: float, p2: float,
+                   init_carry: jnp.ndarray | None = None,
+                   unroll: int = 8) -> jnp.ndarray:
+    """The canonical SGM scan: accumulate along axis 1 of (D, S, N).
 
-    Returns L of the same shape. A row of zeros behaves as "no predecessor"
-    (its contribution to the min is 0 and its own min is 0, so the first
-    row simply gets L = C) — the property the shear trick relies on.
+    Returns L of the same shape. A slab of zeros behaves as "no
+    predecessor" (its contribution to the min is 0 and its own min is 0, so
+    the first slab gets L = C) — the property both the shear trick and the
+    multi-chip carry hand-off rely on. ``init_carry`` (D, N) overrides the
+    zero initial carry (used by the sharded scan to chain tiles).
     """
     cost = jnp.asarray(cost, jnp.float32)
     p1 = jnp.float32(p1)
     p2 = jnp.float32(p2)
     big = jnp.float32(1e9)
 
-    def step(carry, c_row):
-        prev_min = jnp.min(carry, axis=-1, keepdims=True)           # (N, 1)
-        up = jnp.concatenate([jnp.full_like(carry[:, :1], big),
-                              carry[:, :-1]], axis=1)               # L(d-1)
-        down = jnp.concatenate([carry[:, 1:],
-                                jnp.full_like(carry[:, :1], big)], axis=1)
+    def step(carry, c_slab):
+        prev_min = jnp.min(carry, axis=0, keepdims=True)            # (1, N)
+        up = jnp.concatenate([jnp.full_like(carry[:1], big),
+                              carry[:-1]], axis=0)                  # L(d-1)
+        down = jnp.concatenate([carry[1:],
+                                jnp.full_like(carry[:1], big)], axis=0)
         m = jnp.minimum(jnp.minimum(carry, prev_min + p2),
                         jnp.minimum(up, down) + p1)
-        L = c_row + m - prev_min
+        L = c_slab + m - prev_min
         return L, L
 
-    init = jnp.zeros_like(cost[0])
-    _, out = jax.lax.scan(step, init, cost)
-    return out
+    init = jnp.zeros_like(cost[:, 0]) if init_carry is None else init_carry
+    _, out = jax.lax.scan(step, init, jnp.swapaxes(cost, 0, 1), unroll=unroll)
+    return jnp.swapaxes(out, 0, 1)
 
 
-def _shear(volume: jnp.ndarray, direction: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Shear rows so diagonal predecessors align vertically.
+def _shear(volume: jnp.ndarray, direction: int) -> jnp.ndarray:
+    """Shear rows of (D, H, W) so diagonal predecessors align vertically.
 
     direction=+1 aligns (y-1, x-1) above (y, x); -1 aligns (y-1, x+1).
-    Returns (sheared (H, W+H-1, D) with zeros outside, original width W).
+    Returns (D, H, W+H-1) with zeros outside the frame.
     """
-    H, W, D = volume.shape
+    D, H, W = volume.shape
     Ws = W + H - 1
     y = jnp.arange(H)[:, None]
     xs = jnp.arange(Ws)[None, :]
@@ -83,42 +90,38 @@ def _shear(volume: jnp.ndarray, direction: int) -> tuple[jnp.ndarray, jnp.ndarra
         x = xs - y
     valid = (x >= 0) & (x < W)
     xc = jnp.clip(x, 0, W - 1)
-    sheared = volume[jnp.arange(H)[:, None], xc]
-    return jnp.where(valid[..., None], sheared, 0.0), valid
+    sheared = volume[:, y, xc]   # (D, H, Ws) gather on the lane axis
+    return jnp.where(valid[None], sheared, 0.0)
 
 
 def _unshear(sheared: jnp.ndarray, direction: int, W: int) -> jnp.ndarray:
-    H = sheared.shape[0]
+    H = sheared.shape[1]
     y = jnp.arange(H)[:, None]
     xo = jnp.arange(W)[None, :]
-    if direction > 0:
-        xs = xo + (H - 1 - y)
-    else:
-        xs = xo + y
-    return sheared[jnp.arange(H)[:, None], xs]
+    xs = xo + (H - 1 - y) if direction > 0 else xo + y
+    return sheared[:, y, xs]
 
 
 def aggregate_direction(cost: jnp.ndarray, dy: int, dx: int,
                         p1: float, p2: float) -> jnp.ndarray:
-    """Aggregate one path direction over an (H, W, D) volume."""
-    vol = cost
+    """Aggregate one path direction over a (D, H, W) volume."""
+    if dy < 0:                        # canonicalize to downward scan (y-flip
+        flipped = aggregate_direction(cost[:, ::-1], -dy, dx, p1, p2)
+        return flipped[:, ::-1]       # keeps dx: a (-1,dx) step becomes (1,dx))
     if dy == 0:                       # horizontal: scan over x
-        vol = jnp.swapaxes(vol, 0, 1)     # (W, H, D)
+        vol = jnp.swapaxes(cost, 1, 2)    # (D, W, H)
         if dx < 0:
-            vol = vol[::-1]
+            vol = vol[:, ::-1]
         out = scan_direction(vol, p1, p2)
         if dx < 0:
-            out = out[::-1]
-        return jnp.swapaxes(out, 0, 1)
-    if dy < 0:                        # canonicalize to downward scan (y-flip
-        flipped = aggregate_direction(cost[::-1], -dy, dx, p1, p2)
-        return flipped[::-1]          # keeps dx: a (-1,dx) step becomes (1,dx))
+            out = out[:, ::-1]
+        return jnp.swapaxes(out, 1, 2)
     if dx == 0:                       # vertical
-        return scan_direction(vol, p1, p2)
+        return scan_direction(cost, p1, p2)
     # Diagonal: shear so the diagonal becomes a column, scan, unshear.
-    sheared, _ = _shear(vol, dx)
+    sheared = _shear(cost, dx)
     out = scan_direction(sheared, p1, p2)
-    return _unshear(out, dx, cost.shape[1])
+    return _unshear(out, dx, cost.shape[2])
 
 
 @functools.partial(jax.jit, static_argnames=("num_paths",))
@@ -132,7 +135,7 @@ def sgm_aggregate(cost: jnp.ndarray, p1: float, p2: float,
     """
     if num_paths not in (2, 4, 8):
         raise ValueError("num_paths must be 2, 4 or 8")
-    total = jnp.zeros_like(cost, shape=cost.shape, dtype=jnp.float32)
+    total = jnp.zeros(cost.shape, jnp.float32)
     for dy, dx in PATH_DIRECTIONS_8[:num_paths]:
         total = total + aggregate_direction(cost, dy, dx, p1, p2)
     return total

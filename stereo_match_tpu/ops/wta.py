@@ -2,11 +2,11 @@
 left-right consistency (jittable JAX).
 
 Replaces the post-aggregation stages inside OpenCV SGBM/BM (SURVEY.md §2
-N4): argmin over D, parabola subpixel interpolation, uniqueness-ratio
-check, and the disp12 LR check. The LR check here needs **no second
-matcher** (the reference derives one via ``createRightMatcher``,
-``stereo_vision/stereo_vision.py:171``): the right-view disparity is read
-out of the same aggregated cost volume along the lines x_r = x_l - d.
+N4). Volumes are planes layout (D, H, W): the winner search, neighbor-cost
+reads, and the right-view readout C_R(x, d) = C_L(x + d, d) are all
+major-axis reductions and W-axis slices — no gathers over the volume. The
+LR check needs **no second matcher** (the reference derives one via
+``createRightMatcher``, ``stereo_vision/stereo_vision.py:171``).
 
 Convention: invalid disparities are NaN in the float API;
 :func:`to_fixed_point` converts to the reference's int16 disparity*16
@@ -22,8 +22,25 @@ import jax.numpy as jnp
 
 
 def wta_disparity(agg: jnp.ndarray) -> jnp.ndarray:
-    """Integer argmin over the D axis of (H, W, D). Returns int32 (H, W)."""
-    return jnp.argmin(agg, axis=-1).astype(jnp.int32)
+    """Integer argmin over the D axis of (D, H, W). Returns int32 (H, W)."""
+    return jnp.argmin(agg, axis=0).astype(jnp.int32)
+
+
+def _neighbor_costs(agg: jnp.ndarray, disp_idx: jnp.ndarray):
+    """(c[d-1], c[d], c[d+1]) at the winner, via shifted one-hot sums.
+
+    Planes layout lets the d±1 planes be major-axis shifts; selecting at
+    the winner is a masked reduction (no take_along_axis gather).
+    """
+    D = agg.shape[0]
+    big = jnp.float32(1e9)
+    onehot = jax.nn.one_hot(disp_idx, D, axis=0, dtype=agg.dtype)  # (D, H, W)
+    c1 = jnp.sum(agg * onehot, axis=0)
+    up = jnp.concatenate([jnp.full_like(agg[:1], big), agg[:-1]], axis=0)
+    down = jnp.concatenate([agg[1:], jnp.full_like(agg[:1], big)], axis=0)
+    c0 = jnp.sum(up * onehot, axis=0)
+    c2 = jnp.sum(down * onehot, axis=0)
+    return c0, c1, c2
 
 
 def subpixel_refine(agg: jnp.ndarray, disp_idx: jnp.ndarray) -> jnp.ndarray:
@@ -32,18 +49,13 @@ def subpixel_refine(agg: jnp.ndarray, disp_idx: jnp.ndarray) -> jnp.ndarray:
     d* = d + (C[d-1] - C[d+1]) / (2 * (C[d-1] - 2C[d] + C[d+1])), clamped to
     ±0.5; at the D-range edges the integer disparity is kept.
     """
-    D = agg.shape[-1]
-    d = disp_idx
-    dm = jnp.clip(d - 1, 0, D - 1)
-    dp = jnp.clip(d + 1, 0, D - 1)
-    c0 = jnp.take_along_axis(agg, dm[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(agg, d[..., None], axis=-1)[..., 0]
-    c2 = jnp.take_along_axis(agg, dp[..., None], axis=-1)[..., 0]
+    D = agg.shape[0]
+    c0, c1, c2 = _neighbor_costs(agg, disp_idx)
     denom = c0 - 2.0 * c1 + c2
     offset = jnp.where(denom > 1e-9, (c0 - c2) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
     offset = jnp.clip(offset, -0.5, 0.5)
-    at_edge = (d == 0) | (d == D - 1)
-    return d.astype(jnp.float32) + jnp.where(at_edge, 0.0, offset)
+    at_edge = (disp_idx == 0) | (disp_idx == D - 1)
+    return disp_idx.astype(jnp.float32) + jnp.where(at_edge, 0.0, offset)
 
 
 def uniqueness_mask(agg: jnp.ndarray, disp_idx: jnp.ndarray,
@@ -54,35 +66,37 @@ def uniqueness_mask(agg: jnp.ndarray, disp_idx: jnp.ndarray,
     cost[d] * 100 <= cost[best] * (100 + uniquenessRatio).
     """
     if uniqueness_ratio <= 0:
-        return jnp.ones(agg.shape[:-1], bool)
-    D = agg.shape[-1]
-    best = jnp.take_along_axis(agg, disp_idx[..., None], axis=-1)
-    ds = jnp.arange(D)
-    neighbor = jnp.abs(ds[None, None, :] - disp_idx[..., None]) <= 1
-    threshold = best * (100.0 + uniqueness_ratio) / 100.0
+        return jnp.ones(agg.shape[1:], bool)
+    D = agg.shape[0]
+    best = jnp.min(agg, axis=0)
+    ds = jnp.arange(D)[:, None, None]
+    neighbor = jnp.abs(ds - disp_idx[None]) <= 1
+    threshold = best[None] * (100.0 + uniqueness_ratio) / 100.0
     violates = (agg <= threshold) & ~neighbor
-    return ~jnp.any(violates, axis=-1)
+    return ~jnp.any(violates, axis=0)
 
 
 def right_disparity_from_volume(agg: jnp.ndarray,
                                 min_disparity: int = 0) -> jnp.ndarray:
     """Right-view WTA disparity from the left-anchored cost volume.
 
-    C_right(y, x_r, d) = C_left(y, x_r + d, d): gather along the diagonal
-    lines of constant x_l - d, then argmin over d. Out-of-frame samples get
-    a huge cost. Returns float32 (H, W) right-view disparity (no subpixel —
-    used only for the consistency check, as in OpenCV).
+    C_right(y, x_r, d) = C_left(y, x_r + d, d): in planes layout each d
+    plane just shifts left by d along W (a slice), then argmin over d.
+    Out-of-frame samples get a huge cost. Returns float32 (H, W) (integer
+    precision — used only for the consistency check, as in OpenCV).
     """
-    H, W, D = agg.shape
+    D, H, W = agg.shape
+
+    def shift_left(plane_d):
+        plane, d = plane_d
+        pad = jnp.full((H, W), 1e9, plane.dtype)
+        rolled = jax.lax.dynamic_slice(
+            jnp.concatenate([plane, pad], axis=1), (0, d), (H, W))
+        return rolled
+
     ds = jnp.arange(D)
-    xr = jnp.arange(W)
-    xl = xr[:, None] + ds[None, :] + min_disparity      # (W, D)
-    valid = xl < W
-    xlc = jnp.clip(xl, 0, W - 1)
-    # (H, W, D) gather: for each y, row[xlc[w, d], d]
-    gathered = agg[:, xlc, ds[None, :]]
-    gathered = jnp.where(valid[None], gathered, 1e9)
-    return (jnp.argmin(gathered, axis=-1) + min_disparity).astype(jnp.float32)
+    shifted = jax.vmap(lambda p, d: shift_left((p, d)))(agg, ds)
+    return (jnp.argmin(shifted, axis=0) + min_disparity).astype(jnp.float32)
 
 
 def lr_consistency_mask(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
@@ -110,7 +124,7 @@ def lr_consistency_mask(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
 def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
                       uniqueness_ratio: int = 15, disp12_max_diff: int = 1,
                       subpixel: bool = True) -> jnp.ndarray:
-    """Aggregated volume -> float32 disparity map with NaN invalids.
+    """Aggregated (D, H, W) volume -> float32 disparity map, NaN invalids.
 
     The full OpenCV-equivalent WTA stage: argmin, uniqueness, subpixel,
     LR consistency. Speckle filtering is separate (``ops/speckle.py``).

@@ -1,0 +1,6 @@
+from stereo_match_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, image_sharding, initialize_multihost, make_mesh,
+    volume_sharding,
+)
+from stereo_match_tpu.parallel.tiling import sgm_aggregate_sharded  # noqa: F401
+from stereo_match_tpu.parallel.batch import batched_matcher  # noqa: F401

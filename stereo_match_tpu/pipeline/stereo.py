@@ -50,15 +50,28 @@ class StereoResult:
 
 
 def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
-                cfg: DisparityConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Trace-once core: images -> (raw, filtered) float disparities."""
-    vol = build_cost_volume(
-        left_gray, right_gray,
-        num_disparities=cfg.num_disparities,
-        min_disparity=cfg.min_disparity,
-        cost=cfg.cost, block_size=cfg.block_size,
-        window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap)
-    agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
+                cfg: DisparityConfig,
+                cost_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace-once core: images -> (raw, filtered) float disparities.
+
+    ``cost_fn`` overrides the cost family (e.g. an ``MCCNNCost`` provider);
+    defaults to the classic dispatch on ``cfg.cost``.
+    """
+    if cost_fn is not None:
+        vol = cost_fn(left_gray, right_gray)
+    else:
+        vol = build_cost_volume(
+            left_gray, right_gray,
+            num_disparities=cfg.num_disparities,
+            min_disparity=cfg.min_disparity,
+            cost=cfg.cost, block_size=cfg.block_size,
+            window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap)
+    if jax.default_backend() == "cpu":
+        agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
+    else:
+        # Pallas fast path on accelerators (identical semantics, tested)
+        from stereo_match_tpu.ops.pallas_kernels import sgm_aggregate_pallas
+        agg = sgm_aggregate_pallas(vol, cfg.P1, cfg.P2, cfg.num_paths)
     disp = extract_disparity(
         agg, min_disparity=cfg.min_disparity,
         uniqueness_ratio=cfg.uniqueness_ratio,
@@ -81,10 +94,11 @@ class StereoMatcher:
     >>> raw, filtered = matcher(left_gray, right_gray)
     """
 
-    def __init__(self, config: DisparityConfig | None = None):
+    def __init__(self, config: DisparityConfig | None = None, cost_fn=None):
         self.config = config or DisparityConfig()
         cfg = self.config
-        self._fn = jax.jit(functools.partial(_match_core, cfg=cfg))
+        self._fn = jax.jit(functools.partial(_match_core, cfg=cfg,
+                                             cost_fn=cost_fn))
 
     def __call__(self, left_gray, right_gray):
         l = jnp.asarray(np.asarray(left_gray), jnp.float32)

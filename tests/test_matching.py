@@ -60,10 +60,11 @@ def test_census_cost_zero_at_true_disparity():
     gt = np.full((40, 64), 7.0, np.float32)
     left, right = random_dot_pair(40, 64, gt, blur=0.8)
     vol = np.asarray(census_cost_volume(jnp.asarray(left), jnp.asarray(right), 16))
-    interior = vol[8:-8, 16:-8]
+    assert vol.shape == (16, 40, 64)        # planes layout (D, H, W)
+    interior = vol[:, 8:-8, 16:-8]
     # at d=7 the census patterns match almost everywhere
-    assert interior[..., 7].mean() < 1.0
-    assert interior[..., 3].mean() > 5.0
+    assert interior[7].mean() < 1.0
+    assert interior[3].mean() > 5.0
 
 
 def test_box_filter_matches_cv2(rng):
@@ -79,8 +80,8 @@ def test_sad_cost_invalid_region():
     r = jnp.zeros((10, 20))
     vol = np.asarray(sad_cost_volume(l, r, 8, block_size=1))
     # x < d is out of frame -> INVALID_COST
-    assert vol[0, 3, 5] == pytest.approx(1e4)
-    assert vol[0, 5, 5] == pytest.approx(0.0)
+    assert vol[5, 0, 3] == pytest.approx(1e4)
+    assert vol[5, 0, 5] == pytest.approx(0.0)
 
 
 def test_sobel_x_clipped_matches_cv2(rng):
@@ -101,19 +102,27 @@ def test_bt_cost_subpixel_tolerance():
     vol = np.asarray(bt_cost_volume(jnp.asarray(left), jnp.asarray(right), 4,
                                     pre_filter_cap=63, block_size=1))
     ad = np.abs(sobel_x_clipped(jnp.asarray(left)) - sobel_x_clipped(jnp.asarray(right)))
-    assert vol[4, 10:-10, 0].mean() < np.asarray(ad)[4, 10:-10].mean()
+    assert vol[0, 4, 10:-10].mean() < np.asarray(ad)[4, 10:-10].mean()
 
 
 def test_build_cost_volume_dispatch():
     l = jnp.zeros((8, 16))
     for cost in ("census", "sad", "ssd", "bt"):
         v = build_cost_volume(l, l, 16, cost=cost)
-        assert v.shape == (8, 16, 16)
+        assert v.shape == (16, 8, 16)
     with pytest.raises(ValueError):
         build_cost_volume(l, l, 16, cost="nope")
 
 
 # ------------------------------------------------------------------- SGM ----
+
+def _planes(cost_hwd):
+    return jnp.asarray(np.transpose(cost_hwd, (2, 0, 1)))
+
+
+def _from_planes(vol_dhw):
+    return np.transpose(np.asarray(vol_dhw), (1, 2, 0))
+
 
 def _sgm_ref(cost, dy, dx, p1, p2):
     """Brute-force SGM single-direction reference."""
@@ -144,25 +153,25 @@ def _sgm_ref(cost, dy, dx, p1, p2):
 def test_aggregate_direction_matches_bruteforce(rng, direction):
     dy, dx = direction
     cost = rng.uniform(0, 30, (9, 13, 8)).astype(np.float32)
-    mine = np.asarray(aggregate_direction(jnp.asarray(cost), dy, dx, 5.0, 20.0))
+    mine = _from_planes(aggregate_direction(_planes(cost), dy, dx, 5.0, 20.0))
     ref = _sgm_ref(cost, dy, dx, 5.0, 20.0)
     np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-4)
 
 
 def test_scan_direction_first_row_is_cost(rng):
-    cost = rng.uniform(0, 10, (5, 7, 4)).astype(np.float32)
+    cost = rng.uniform(0, 10, (4, 5, 7)).astype(np.float32)   # (D, S, N)
     out = np.asarray(scan_direction(jnp.asarray(cost), 2.0, 8.0))
-    np.testing.assert_allclose(out[0], cost[0], atol=1e-6)
+    np.testing.assert_allclose(out[:, 0], cost[:, 0], atol=1e-6)
 
 
 def test_sgm_aggregate_sums_paths(rng):
     cost = rng.uniform(0, 30, (9, 13, 8)).astype(np.float32)
-    agg = np.asarray(sgm_aggregate(jnp.asarray(cost), 5.0, 20.0, 4))
+    agg = _from_planes(sgm_aggregate(_planes(cost), 5.0, 20.0, 4))
     ref = sum(_sgm_ref(cost, dy, dx, 5.0, 20.0)
               for dy, dx in PATH_DIRECTIONS_8[:4])
     np.testing.assert_allclose(agg, ref, rtol=1e-5, atol=1e-3)
     with pytest.raises(ValueError):
-        sgm_aggregate(jnp.asarray(cost), 5.0, 20.0, 3)
+        sgm_aggregate(_planes(cost), 5.0, 20.0, 3)
 
 
 def test_sgm_smooths_noisy_costs():
@@ -174,7 +183,7 @@ def test_sgm_smooths_noisy_costs():
     cost[2, 5, 2] = 10.0        # corrupt center pixel
     cost[2, 5, 5] = 0.0         # spurious winner
     raw_winner = int(np.argmin(cost[2, 5]))
-    agg = np.asarray(sgm_aggregate(jnp.asarray(cost), 2.0, 50.0, 8))
+    agg = _from_planes(sgm_aggregate(_planes(cost), 2.0, 50.0, 8))
     sgm_winner = int(np.argmin(agg[2, 5]))
     assert raw_winner == 5 and sgm_winner == 2
 
@@ -185,14 +194,14 @@ def test_subpixel_parabola_recovers_offset():
     # quadratic cost with minimum at d = 3.3
     d = np.arange(8, dtype=np.float32)
     cost = (d - 3.3) ** 2
-    vol = jnp.asarray(np.tile(cost, (2, 2, 1)))
+    vol = _planes(np.tile(cost, (2, 2, 1)))
     idx = wta_disparity(vol)
     disp = np.asarray(subpixel_refine(vol, idx))
     np.testing.assert_allclose(disp, 3.3, atol=1e-3)
 
 
 def test_subpixel_keeps_integer_at_edges():
-    cost = jnp.asarray(np.arange(8, dtype=np.float32)[None, None])  # min at 0
+    cost = _planes(np.arange(8, dtype=np.float32)[None, None])  # min at 0
     disp = np.asarray(subpixel_refine(cost, wta_disparity(cost)))
     assert disp[0, 0] == 0.0
 
@@ -202,20 +211,20 @@ def test_uniqueness_mask():
     vol[0, 0, 4] = 50.0                     # unique winner
     vol[0, 1, 4] = 50.0
     vol[0, 1, 8] = 51.0                     # ambiguous far competitor
-    m = np.asarray(uniqueness_mask(jnp.asarray(vol), wta_disparity(jnp.asarray(vol)), 15))
+    m = np.asarray(uniqueness_mask(_planes(vol), wta_disparity(_planes(vol)), 15))
     assert m[0, 0] and not m[0, 1]
     # neighbor competitor does not kill uniqueness
     vol[0, 1, 8] = 100.0
     vol[0, 1, 5] = 50.5
-    m = np.asarray(uniqueness_mask(jnp.asarray(vol), wta_disparity(jnp.asarray(vol)), 15))
+    m = np.asarray(uniqueness_mask(_planes(vol), wta_disparity(_planes(vol)), 15))
     assert m[0, 1]
 
 
 def test_right_disparity_from_volume():
     # constant-disparity scene: C(y, x, d) minimal at d=3
     H, W, D = 4, 16, 8
-    vol = np.full((H, W, D), 10.0, np.float32)
-    vol[..., 3] = 0.0
+    vol = np.full((D, H, W), 10.0, np.float32)
+    vol[3] = 0.0
     dr = np.asarray(right_disparity_from_volume(jnp.asarray(vol)))
     np.testing.assert_array_equal(dr[:, : W - 4], 3.0)
 

@@ -1,0 +1,140 @@
+"""MC-CNN learned cost: model, training, cost volume, pipeline, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.costs import MCCNNCost, make_cost_provider
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+from stereo_match_tpu.eval.metrics import bad_pixel_rate
+from stereo_match_tpu.models.mccnn import (
+    PARTITION_RULES, hinge_loss, init_params, make_model, make_train_step,
+    match_partition_rules, mccnn_cost_volume, sample_training_patches,
+    shard_params, train,
+)
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = make_model("fast")
+    params = init_params(model, jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_feature_tower_shapes_and_norm(model_and_params):
+    model, params = model_and_params
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 32, 1)),
+                    jnp.float32)
+    f = model.apply(params, x)
+    assert f.shape == (2, 24, 32, 64)
+    norms = jnp.linalg.norm(f, axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-4)
+
+
+def test_accurate_arch():
+    model = make_model("accurate")
+    params = init_params(model, jax.random.PRNGKey(0))
+    f = model.apply(params, jnp.zeros((1, 16, 16, 1)))
+    assert f.shape[-1] == 112
+    with pytest.raises(ValueError):
+        make_model("medium")
+
+
+def test_cost_volume_shape_and_identity(model_and_params):
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (24, 40)).astype(np.float32)
+    vol = np.asarray(mccnn_cost_volume(model, params, img, img, 8))
+    assert vol.shape == (8, 24, 40)
+    # identical images: d=0 cost ~0 (perfect similarity), others higher
+    assert vol[0, :, 8:].mean() < vol[4, :, 8:].mean()
+    assert vol[0, :, 8:].mean() < 1.0
+
+
+def test_patch_sampler():
+    rng = np.random.default_rng(0)
+    left = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+    right = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+    gt = np.full((64, 96), 10.0, np.float32)
+    a, p, n = sample_training_patches(left, right, gt, 50, patch=8)
+    assert a.shape == (50, 8, 8) and p.shape == n.shape == a.shape
+    # positive patch is the true correspondence: centered at x-10
+    ys, xs = 32, 48  # can't recover indices; just check ranges differ
+    assert not np.allclose(p, n)
+
+
+def test_training_reduces_loss(model_and_params):
+    model, _ = model_and_params
+    params = init_params(model, jax.random.PRNGKey(1))
+    gt = box_scene(48, 72, 4, 10)
+    left, right = random_dot_pair(48, 72, gt, blur=1.0)
+    a, p, n = sample_training_patches(left, right, gt, 256, patch=12)
+    batch = (a, p, n)
+    l0 = float(hinge_loss(model, params, *map(jnp.asarray, batch)))
+    params, losses = train(model, params, [batch] * 30, learning_rate=1e-3)
+    l1 = float(hinge_loss(model, params, *map(jnp.asarray, batch)))
+    assert l1 < l0 * 0.8, (l0, l1)
+
+
+def test_mccnn_cost_in_pipeline(model_and_params):
+    """A briefly-trained tower drives the full SGM pipeline acceptably."""
+    model, _ = model_and_params
+    params = init_params(model, jax.random.PRNGKey(2))
+    gt = box_scene(48, 72, 4, 10)
+    left, right = random_dot_pair(48, 72, gt, blur=1.0)
+    a, p, n = sample_training_patches(left, right, gt, 512, patch=12, seed=1)
+    params, _ = train(model, params, [(a, p, n)] * 40, learning_rate=1e-3)
+
+    cfg = DisparityConfig(num_disparities=16, cost="mccnn",
+                          uniqueness_ratio=0, wls=False)
+    provider = make_cost_provider(cfg, model, params)
+    assert isinstance(provider, MCCNNCost)
+    from stereo_match_tpu.pipeline.stereo import StereoMatcher
+    raw, _ = StereoMatcher(cfg, cost_fn=provider)(left, right)
+    bad3 = float(bad_pixel_rate(np.asarray(raw), gt, 3.0, 0.0))
+    assert bad3 < 0.15, bad3
+
+
+def test_make_cost_provider_validation():
+    cfg = DisparityConfig(cost="mccnn")
+    with pytest.raises(ValueError):
+        make_cost_provider(cfg)
+
+
+def test_partition_rules(model_and_params):
+    model, params = model_and_params
+    specs = match_partition_rules(PARTITION_RULES, params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    kernel_specs = [s for path, s in flat if "kernel" in str(path)]
+    assert all(s == P(None, None, None, "model") for s in kernel_specs)
+    assert len(kernel_specs) == 4
+
+
+def test_sharded_train_step(model_and_params):
+    """DP+TP train step on a (data=4, model=2) mesh executes and matches
+    the unsharded step's loss."""
+    model, _ = model_and_params
+    params = init_params(model, jax.random.PRNGKey(3))
+    devices = np.asarray(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    sharded_params = shard_params(params, mesh)
+
+    rng = np.random.default_rng(0)
+    batch = tuple(jnp.asarray(rng.uniform(0, 1, (8, 12, 12)).astype(np.float32))
+                  for _ in range(3))
+    optimizer = optax.sgd(1e-2)
+
+    step_plain = make_train_step(model, optimizer)
+    step_sharded = make_train_step(model, optimizer, mesh)
+
+    p1, _, loss_plain = step_plain(params, optimizer.init(params), batch)
+    p2, _, loss_sharded = step_sharded(sharded_params,
+                                       optimizer.init(sharded_params), batch)
+    assert float(loss_plain) == pytest.approx(float(loss_sharded), rel=1e-4)
+    l1 = jax.tree.leaves(p1)[0]
+    l2 = jax.tree.leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
