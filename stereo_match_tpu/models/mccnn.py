@@ -88,8 +88,8 @@ def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
         sim = jnp.sum(fl * _shift_plane(fr, d), axis=0)   # (H, W) in [-1, 1]
         return scale * (1.0 - sim) * 0.5
 
-    ds = min_disparity + jnp.arange(num_disparities)
-    vol = jax.vmap(plane)(ds)
+    vol = jnp.stack([plane(min_disparity + i)
+                     for i in range(num_disparities)], axis=0)
     mask = _invalid_mask(left.shape[-1], num_disparities, min_disparity)
     return jnp.where(mask, INVALID_COST, vol)
 

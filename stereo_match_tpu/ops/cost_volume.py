@@ -40,6 +40,11 @@ def _shift_plane(arr: jnp.ndarray, d) -> jnp.ndarray:
     is overwritten by INVALID_COST downstream).
     """
     W = arr.shape[-1]
+    if isinstance(d, int):          # static shift: a free strided-slice view
+        if d == 0:
+            return arr
+        pad = [(0, 0)] * (arr.ndim - 1) + [(d, 0)]
+        return jnp.pad(arr, pad, mode="edge")[..., :W]
     pad = [(0, 0)] * (arr.ndim - 1) + [(W, 0)]
     padded = jnp.pad(arr, pad, mode="edge")
     start = (0,) * (arr.ndim - 1) + (W - d,)
@@ -55,9 +60,13 @@ def _invalid_mask(W: int, num_disparities: int, min_disparity: int) -> jnp.ndarr
 
 def _stack_over_disparities(plane_fn, num_disparities: int, min_disparity: int,
                             W: int) -> jnp.ndarray:
-    """vmap a per-disparity (H, W) plane builder into a (D, H, W) volume."""
-    ds = min_disparity + jnp.arange(num_disparities)
-    vol = jax.vmap(plane_fn)(ds)
+    """Unrolled per-disparity (H, W) plane builder -> (D, H, W) volume.
+
+    Static unrolling keeps every shift a strided slice (a vmap over traced
+    d would lower the shifts to gathers — several times slower on TPU).
+    """
+    vol = jnp.stack([plane_fn(min_disparity + i)
+                     for i in range(num_disparities)], axis=0)
     mask = _invalid_mask(W, num_disparities, min_disparity)
     return jnp.where(mask, INVALID_COST, vol)
 

@@ -127,6 +127,23 @@ def nl_means_denoise(image: jnp.ndarray, h: float = 10.0,
     return num / den
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def median_filter(image: jnp.ndarray, size: int = 3) -> jnp.ndarray:
+    """Windowed median on (H, W) via a sorted shifted-stack (edge
+    replicated). NaNs are treated as +inf and win only in all-NaN windows."""
+    img = jnp.asarray(image, jnp.float32)
+    H, W = img.shape
+    r = size // 2
+    padded = jnp.pad(img, r, mode="edge")
+    stack = jnp.stack([
+        jax.lax.dynamic_slice(padded, (dy, dx), (H, W))
+        for dy in range(size) for dx in range(size)], axis=0)
+    filled = jnp.where(jnp.isnan(stack), jnp.inf, stack)
+    s = jnp.sort(filled, axis=0)
+    med = s[(size * size) // 2]
+    return jnp.where(jnp.isfinite(med), med, jnp.nan)
+
+
 def image_measure(image: jnp.ndarray, sigma: float = 1.0,
                   alpha: float = 30.0) -> jnp.ndarray:
     """Gaussian blur + unsharp sharpen: the reference's pre-matching

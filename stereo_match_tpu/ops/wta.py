@@ -86,16 +86,14 @@ def right_disparity_from_volume(agg: jnp.ndarray,
     precision — used only for the consistency check, as in OpenCV).
     """
     D, H, W = agg.shape
-
-    def shift_left(plane_d):
-        plane, d = plane_d
-        pad = jnp.full((H, W), 1e9, plane.dtype)
-        rolled = jax.lax.dynamic_slice(
-            jnp.concatenate([plane, pad], axis=1), (0, d), (H, W))
-        return rolled
-
-    ds = jnp.arange(D)
-    shifted = jax.vmap(lambda p, d: shift_left((p, d)))(agg, ds)
+    # One shear gather along the lane axis: shifted[d, y, x] = agg[d, y, x+d]
+    # (a per-plane left-shift; the d-sloped analog of the diagonal shear).
+    x = jnp.arange(W)[None, None, :]
+    d = jnp.arange(D)[:, None, None]
+    xs = x + d
+    valid = xs < W
+    gathered = jnp.take_along_axis(agg, jnp.clip(xs, 0, W - 1), axis=2)
+    shifted = jnp.where(valid, gathered, jnp.float32(1e9))
     return (jnp.argmin(shifted, axis=0) + min_disparity).astype(jnp.float32)
 
 

@@ -1,0 +1,134 @@
+"""ELAS-style matching: support points -> triangulated prior -> dense map.
+
+The TPU-native re-design of the reference's external libelas dependency
+(SURVEY.md §2 N7, ``libelas/script.py:9``): ELAS computes a sparse set of
+confidently-matched "support points" on a grid, builds a Delaunay
+triangulation over them, and uses the induced piecewise-planar disparity
+prior to guide dense matching.
+
+Split of labor (SURVEY.md §7 hard parts): the dense stages (cost volume,
+support WTA, prior-penalized dense WTA) are jitted TPU programs; the
+irregular triangulation + rasterization run on host in C++
+(``native/smt_native.cpp``), with a scipy fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.native import delaunay, rasterize_planes
+from stereo_match_tpu.ops.cost_volume import build_cost_volume
+from stereo_match_tpu.ops.wta import subpixel_refine, wta_disparity
+
+
+@dataclass
+class ElasConfig:
+    grid_step: int = 5            # support-point candidate spacing
+    support_ratio: float = 0.75   # best/2nd-best cost ratio for a support pt
+    support_lr_tol: float = 1.0   # LR agreement required at support pts
+    prior_sigma: float = 2.0      # Gaussian width of the plane prior
+    prior_weight: float = 6.0     # prior strength vs data cost (census bits)
+    prior_trunc: float = 18.0     # truncation of the prior penalty
+    min_support: int = 16         # fall back to plain WTA below this
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
+                                             "window"))
+def _support_scores(left, right, num_disparities, min_disparity=0,
+                    window=(5, 5)):
+    """Dense WTA + robustness stats, shared by support selection.
+
+    Returns (disp_int, ratio, lr_ok): per-pixel winner, best/2nd-best cost
+    ratio (low = confident), and LR-consistency flags.
+    """
+    from stereo_match_tpu.ops.wta import (lr_consistency_mask,
+                                          right_disparity_from_volume)
+    vol = build_cost_volume(left, right, num_disparities, min_disparity,
+                            cost="census", window=window)
+    idx = wta_disparity(vol)
+    best = jnp.min(vol, axis=0)
+    D = vol.shape[0]
+    ds = jnp.arange(D)[:, None, None]
+    neighbor = jnp.abs(ds - idx[None]) <= 1
+    second = jnp.min(jnp.where(neighbor, jnp.inf, vol), axis=0)
+    ratio = (best + 1.0) / (second + 1.0)
+    disp = idx.astype(jnp.float32) + min_disparity
+    disp_r = right_disparity_from_volume(vol, min_disparity)
+    lr_ok = lr_consistency_mask(disp, disp_r, 1, min_disparity)
+    return vol, disp, ratio, lr_ok
+
+
+def extract_support_points(left, right, cfg: ElasConfig,
+                           num_disparities: int,
+                           min_disparity: int = 0) -> np.ndarray:
+    """Robust grid matches -> (n, 3) array of (x, y, d)."""
+    _, disp, ratio, lr_ok = _support_scores(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+        num_disparities, min_disparity)
+    disp = np.asarray(disp)
+    ratio = np.asarray(ratio)
+    lr_ok = np.asarray(lr_ok)
+    H, W = disp.shape
+    g = cfg.grid_step
+    ys, xs = np.mgrid[g:H - g:g, g:W - g:g]
+    ys, xs = ys.ravel(), xs.ravel()
+    ok = (ratio[ys, xs] < cfg.support_ratio) & lr_ok[ys, xs]
+    return np.stack([xs[ok], ys[ok], disp[ys[ok], xs[ok]]], axis=-1)
+
+
+@jax.jit
+def _dense_with_prior(vol, mu, prior_weight, prior_sigma, prior_trunc):
+    """WTA over cost + truncated quadratic plane-prior penalty, with the
+    ELAS left-right consistency invalidation (occlusions -> NaN)."""
+    from stereo_match_tpu.ops.wta import (lr_consistency_mask,
+                                          right_disparity_from_volume)
+    D = vol.shape[0]
+    ds = jnp.arange(D, dtype=jnp.float32)[:, None, None]
+    has_prior = jnp.isfinite(mu)
+    mu_safe = jnp.where(has_prior, mu, 0.0)
+    pen = jnp.minimum(((ds - mu_safe) / prior_sigma) ** 2, prior_trunc)
+    pen = jnp.where(has_prior[None], pen, 0.0)
+    total = vol + prior_weight * pen
+    idx = wta_disparity(total)
+    disp = subpixel_refine(total, idx)
+    disp_r = right_disparity_from_volume(total)
+    ok = lr_consistency_mask(disp, disp_r, 2)
+    return jnp.where(ok, disp, jnp.nan)
+
+
+def elas_match(left, right, num_disparities: int = 64,
+               min_disparity: int = 0,
+               cfg: ElasConfig | None = None,
+               return_support: bool = False):
+    """Full ELAS-style pipeline on one rectified grayscale pair.
+
+    Returns float32 (H, W) disparity (dense; prior-guided), optionally with
+    the (n, 3) support points.
+    """
+    cfg = cfg or ElasConfig()
+    left = jnp.asarray(np.asarray(left), jnp.float32)
+    right = jnp.asarray(np.asarray(right), jnp.float32)
+    H, W = left.shape
+
+    vol, disp_plain, _, _ = _support_scores(left, right, num_disparities,
+                                            min_disparity)
+    support = extract_support_points(left, right, cfg, num_disparities,
+                                     min_disparity)
+    if len(support) < cfg.min_support:
+        disp = np.asarray(subpixel_refine(vol, wta_disparity(vol)))
+        return (disp, support) if return_support else disp
+
+    tris = delaunay(support[:, :2])
+    mu = rasterize_planes(tris, support, H, W)     # host C++ / scipy
+    from stereo_match_tpu.ops.filters import median_filter
+    disp = _dense_with_prior(
+        vol, jnp.asarray(mu), cfg.prior_weight, cfg.prior_sigma,
+        cfg.prior_trunc)
+    disp = np.asarray(median_filter(disp, 3))  # ELAS-style output median
+    return (disp, support) if return_support else disp

@@ -1,0 +1,89 @@
+"""CLI subcommands end-to-end (through the argparse surface)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from stereo_match_tpu.cli.main import main
+from stereo_match_tpu.data.image import image_save
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+
+
+@pytest.fixture()
+def session_dir(tmp_path, rng):
+    frames = []
+    K = np.array([[300.0, 0, 32], [0, 300.0, 24], [0, 0, 1]])
+    for i in range(2):
+        ts = 100.0 + i
+        T = np.eye(4)
+        T[:3, 3] = [0, 0.1 * i, 0]   # ARKit-frame offset
+        frames.append({"timestamp": ts, "camera": {
+            "transform": T.T.flatten().tolist(),
+            "intrinsics": K.T.flatten().tolist()}})
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        image_save(str(tmp_path / f"{ts}-1.000.jpeg"), img)
+    (tmp_path / "session.json").write_text(json.dumps({"frames": frames}))
+    return tmp_path
+
+
+def test_build_dataset_and_rectify_and_match(session_dir, tmp_path, capsys):
+    npz = str(tmp_path / "out.npz")
+    assert main(["build-dataset", str(session_dir / "session.json"),
+                 "--output", npz]) == 0
+    assert "wrote 2 frames" in capsys.readouterr().out
+
+    left_out = str(tmp_path / "l.png")
+    right_out = str(tmp_path / "r.png")
+    assert main(["rectify", npz, "0", "1", "--left_out", left_out,
+                 "--right_out", right_out]) == 0
+
+    disp_out = str(tmp_path / "d.png")
+    assert main(["match", "--npz_file", npz, "--id1", "0", "--id2", "1",
+                 "--num_disparities", "16", "--disp_out", disp_out]) == 0
+
+    # id validation (reference parity: id2 > id1 >= 0)
+    assert main(["match", "--npz_file", npz, "--id1", "1", "--id2", "0",
+                 "--disp_out", disp_out]) == 2
+
+
+def test_match_images_mode(tmp_path, capsys):
+    gt = box_scene(48, 64)
+    left, right = random_dot_pair(48, 64, gt, blur=0.8)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    image_save(lp, left.astype(np.uint8))
+    image_save(rp, right.astype(np.uint8))
+    disp_out = str(tmp_path / "disp.png")
+    ply_out = str(tmp_path / "c.ply")
+    assert main(["match", "--left", lp, "--right", rp,
+                 "--num_disparities", "16", "--disp_out", disp_out,
+                 "--write_ply", "--ply_out", ply_out,
+                 "--focal", "300", "--baseline", "0.1"]) == 0
+    out = capsys.readouterr().out
+    assert "density" in out
+    import os
+    assert os.path.exists(disp_out) and os.path.exists(ply_out)
+    assert os.path.exists(disp_out + ".npy")
+
+
+def test_reproject_cli(tmp_path):
+    disp = np.full((32, 48), 60, np.uint8)
+    dp = str(tmp_path / "disp.png")
+    image_save(dp, disp)
+    out = str(tmp_path / "cloud.ply")
+    assert main(["reproject", dp, "--output", out, "--focal", "100",
+                 "--baseline", "0.5", "--min_value", "1"]) == 0
+    from stereo_match_tpu.data.ply import read_ply
+    pts, _ = read_ply(out)
+    assert len(pts) == 32 * 48
+
+
+def test_eval_cli(tmp_path, capsys):
+    pred = np.full((16, 16), 5.0, np.float32)
+    gt = np.full((16, 16), 5.5, np.float32)
+    pp, gp = str(tmp_path / "p.npy"), str(tmp_path / "g.npy")
+    np.save(pp, pred)
+    np.save(gp, gt)
+    assert main(["eval", pp, gp]) == 0
+    scores = json.loads(capsys.readouterr().out)
+    assert scores["epe"] == pytest.approx(0.5, abs=1e-3)
