@@ -1,0 +1,177 @@
+"""Monocular depth estimation (Flax), TPU-native.
+
+Replaces the reference's external TensorFlow monodepth dependency
+(SURVEY.md §2 N9, ``monodepth/script.py:8-10``): an encoder-decoder that
+predicts disparity from a single image, trained *self-supervised* on
+rectified stereo pairs with the monodepth objective — appearance matching
+(SSIM + L1) of the disparity-warped opposite view, disparity smoothness,
+and left-right disparity consistency. Inference is a single forward pass
+(`` predict_disparity``), the drop-in single-image alternative path of the
+reference pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME")(x)
+        return nn.elu(x)
+
+
+class MonodepthNet(nn.Module):
+    """Compact VGG-style encoder-decoder with skip connections.
+
+    Predicts sigmoid disparity at 4 scales (finest first), scaled to
+    ``max_disparity_frac`` of image width — the monodepth parameterization.
+    """
+    encoder_features: Sequence[int] = (32, 64, 128, 256)
+    max_disparity_frac: float = 0.3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        # x: (B, H, W, C) in [0, 1]; H, W divisible by 2^len(encoder)
+        skips = []
+        h = x
+        for f in self.encoder_features:
+            h = ConvBlock(f)(h)
+            skips.append(h)
+            h = ConvBlock(f, stride=2)(h)
+
+        disps = []
+        for i, f in reversed(list(enumerate(self.encoder_features))):
+            B, hh, ww, _ = h.shape
+            h = jax.image.resize(h, (B, hh * 2, ww * 2, h.shape[-1]),
+                                 "nearest")
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = ConvBlock(f)(h)
+            if i < 2:  # two finest scales emit disparity
+                d = nn.Conv(2, (3, 3), padding="SAME",
+                            name=f"disp{i}")(h)
+                disps.append(self.max_disparity_frac * nn.sigmoid(d))
+        return disps[::-1]   # [finest(H,W), half-res]
+
+
+def init_params(model: MonodepthNet, rng, shape=(1, 64, 96, 3)) -> Any:
+    return model.init(rng, jnp.zeros(shape))
+
+
+def predict_disparity(model: MonodepthNet, params, image: np.ndarray) -> np.ndarray:
+    """Single RGB image (H, W, 3) uint8/float -> (H, W) disparity in px."""
+    img = jnp.asarray(np.asarray(image), jnp.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    H, W = img.shape[:2]
+    s = 2 ** 4
+    Hp, Wp = -(-H // s) * s, -(-W // s) * s
+    padded = jnp.pad(img, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    disps = model.apply(params, padded[None])
+    d = disps[0][0, :H, :W, 0]          # left-view channel, finest scale
+    return np.asarray(d * W)
+
+
+# ------------------------------------------------------------- training ----
+
+def _warp_horizontal(img: jnp.ndarray, disp_frac: jnp.ndarray,
+                     direction: float) -> jnp.ndarray:
+    """Bilinear warp along x by per-pixel disparity (fraction of width)."""
+    B, H, W, C = img.shape
+    x = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    xs = x + direction * disp_frac[..., 0] * W
+    x0 = jnp.floor(xs)
+    f = xs - x0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    g0 = jnp.take_along_axis(img, x0i[..., None].repeat(C, -1), axis=2)
+    g1 = jnp.take_along_axis(img, x1i[..., None].repeat(C, -1), axis=2)
+    return g0 * (1 - f[..., None]) + g1 * f[..., None]
+
+
+def _ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Simplified 3x3 mean-pooled SSIM (monodepth's appearance term)."""
+    def pool(x):
+        return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="VALID")
+    mu_a, mu_b = pool(a), pool(b)
+    sa = pool(a * a) - mu_a ** 2
+    sb = pool(b * b) - mu_b ** 2
+    sab = pool(a * b) - mu_a * mu_b
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim = ((2 * mu_a * mu_b + c1) * (2 * sab + c2)) / (
+        (mu_a ** 2 + mu_b ** 2 + c1) * (sa + sb + c2))
+    return jnp.clip((1 - ssim) / 2, 0, 1)
+
+
+def _smoothness(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware disparity smoothness."""
+    dx_d = jnp.abs(disp[:, :, 1:] - disp[:, :, :-1])
+    dy_d = jnp.abs(disp[:, 1:] - disp[:, :-1])
+    dx_i = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), -1, keepdims=True)
+    dy_i = jnp.mean(jnp.abs(img[:, 1:] - img[:, :-1]), -1, keepdims=True)
+    return (jnp.mean(dx_d * jnp.exp(-dx_i)) + jnp.mean(dy_d * jnp.exp(-dy_i)))
+
+
+def monodepth_loss(model: MonodepthNet, params, left: jnp.ndarray,
+                   right: jnp.ndarray, alpha_ssim: float = 0.85,
+                   w_smooth: float = 0.1, w_lr: float = 1.0) -> jnp.ndarray:
+    """The monodepth self-supervised objective on a rectified pair.
+
+    left/right: (B, H, W, 3) in [0, 1]. Channel 0 of the prediction is the
+    left-view disparity, channel 1 the right-view.
+    """
+    disps = model.apply(params, left)
+    total = 0.0
+    for scale, d in enumerate(disps):
+        factor = 2 ** scale
+        l = left[:, ::factor, ::factor]
+        r = right[:, ::factor, ::factor]
+        dl = d[..., :1]
+        dr = d[..., 1:]
+        # reconstruct left from right by sampling at x - d (d = x_l - x_r)
+        recon_l = _warp_horizontal(r, dl, -1.0)
+        recon_r = _warp_horizontal(l, dr, +1.0)
+        ap_l = alpha_ssim * jnp.mean(_ssim(recon_l, l)) \
+            + (1 - alpha_ssim) * jnp.mean(jnp.abs(recon_l - l))
+        ap_r = alpha_ssim * jnp.mean(_ssim(recon_r, r)) \
+            + (1 - alpha_ssim) * jnp.mean(jnp.abs(recon_r - r))
+        # LR consistency: left disparity field vs warped right disparity
+        dr_warped = _warp_horizontal(dr, dl, -1.0)
+        lr = jnp.mean(jnp.abs(dl - dr_warped))
+        sm = _smoothness(dl, l) / factor
+        total = total + ap_l + ap_r + w_smooth * sm + w_lr * lr
+    return total
+
+
+def make_train_step(model: MonodepthNet, optimizer):
+    def step(params, opt_state, left, right):
+        loss, grads = jax.value_and_grad(
+            lambda p: monodepth_loss(model, p, left, right))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return jax.jit(step)
+
+
+def train(model: MonodepthNet, params, pairs, learning_rate: float = 1e-4):
+    """pairs: iterable of (left, right) batches (B, H, W, 3) in [0, 1]."""
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer)
+    losses = []
+    for left, right in pairs:
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(left), jnp.asarray(right))
+        losses.append(float(loss))
+    return params, losses

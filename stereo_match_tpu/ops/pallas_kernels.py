@@ -126,24 +126,107 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     return out
 
 
-def _shear(volume: jnp.ndarray, direction: int) -> jnp.ndarray:
-    """(D, H, W) -> (D, H, W+H-1) with zeros outside (see ops/sgm.py)."""
-    D, H, W = volume.shape
-    Ws = W + H - 1
-    y = jnp.arange(H)[:, None]
-    xs = jnp.arange(Ws)[None, :]
-    x = xs - (H - 1 - y) if direction > 0 else xs - y
-    valid = (x >= 0) & (x < W)
-    xc = jnp.clip(x, 0, W - 1)
-    return jnp.where(valid[None], volume[:, y, xc], 0.0)
+def _sgm_step3(c, cs, cse, csw, p1, p2):
+    """One row of the fused 3-direction (S, SE, SW) recurrence.
+
+    The SE carry is the previous row's SE state shifted one lane right
+    (predecessor (y-1, x-1)); zeros shift in at the frame edge, which is
+    exactly the recurrence's reset state. Likewise SW shifts left. Note the
+    same trick makes W-tile boundaries behave as frame edges for the
+    diagonal paths — see ``sgm_aggregate_pallas(exact_diagonals=...)``.
+    """
+    zero_col = jnp.zeros_like(cs[:, :1])
+    cse_sh = jnp.concatenate([zero_col, cse[:, :-1]], axis=1)
+    csw_sh = jnp.concatenate([csw[:, 1:], zero_col], axis=1)
+    Ls = _sgm_step(c, cs, p1, p2)
+    Lse = _sgm_step(c, cse_sh, p1, p2)
+    Lsw = _sgm_step(c, csw_sh, p1, p2)
+    return Ls, Lse, Lsw
 
 
-def _unshear(sheared: jnp.ndarray, direction: int, W: int) -> jnp.ndarray:
-    H = sheared.shape[1]
-    y = jnp.arange(H)[:, None]
-    xo = jnp.arange(W)[None, :]
-    xs = xo + (H - 1 - y) if direction > 0 else xo + y
-    return sheared[:, y, xs]
+def _sgm_scan3_kernel_init(c_ref, out_ref, cs_ref, cse_ref, csw_ref,
+                           *, p1, p2, s_blk, reverse):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        cse_ref[:] = jnp.zeros_like(cse_ref)
+        csw_ref[:] = jnp.zeros_like(csw_ref)
+    cs, cse, csw = cs_ref[:], cse_ref[:], csw_ref[:]
+    rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    for k in rows:
+        cs, cse, csw = _sgm_step3(c_ref[:, k, :], cs, cse, csw, p1, p2)
+        out_ref[:, k, :] = cs + cse + csw
+    cs_ref[:], cse_ref[:], csw_ref[:] = cs, cse, csw
+
+
+def _sgm_scan3_kernel_accum(c_ref, acc_ref, out_ref, cs_ref, cse_ref, csw_ref,
+                            *, p1, p2, s_blk, reverse):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        cse_ref[:] = jnp.zeros_like(cse_ref)
+        csw_ref[:] = jnp.zeros_like(csw_ref)
+    cs, cse, csw = cs_ref[:], cse_ref[:], csw_ref[:]
+    rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    for k in rows:
+        cs, cse, csw = _sgm_step3(c_ref[:, k, :], cs, cse, csw, p1, p2)
+        out_ref[:, k, :] = acc_ref[:, k, :] + cs + cse + csw
+    cs_ref[:], cse_ref[:], csw_ref[:] = cs, cse, csw
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p1", "p2", "reverse", "tile_n",
+                                    "interpret"))
+def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
+                     p1: float, p2: float, reverse: bool = False,
+                     tile_n: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused S+SE+SW (or, reversed, N+NE+NW) scan over (D, S, N).
+
+    One volume pass computes three path directions; diagonal carries are
+    lane-shifted vertical carries. W-tile boundaries reset the diagonal
+    carries (frame-edge semantics); use ``tile_n >= N`` for boundary-free
+    results when VMEM allows.
+    """
+    D, S, N = cost.shape
+    s_blk = 8
+    tile_n = min(tile_n, _cdiv(N, 128) * 128)
+    n_tiles = _cdiv(N, tile_n)
+    pad_n = n_tiles * tile_n - N
+    n_sblocks = _cdiv(S, s_blk)
+    pad_s = n_sblocks * s_blk - S
+    if pad_n or pad_s:
+        pads = ((0, 0), (0, pad_s), (0, pad_n))
+        cost = jnp.pad(cost, pads)
+        if accum is not None:
+            accum = jnp.pad(accum, pads)
+
+    def idx(n, s):
+        return (0, (n_sblocks - 1 - s) if reverse else s, n)
+
+    spec = pl.BlockSpec((D, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
+    params = dict(
+        grid=(n_tiles, n_sblocks),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(cost.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, tile_n), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )
+    kparams = dict(p1=float(p1), p2=float(p2), s_blk=s_blk, reverse=reverse)
+    if accum is None:
+        out = pl.pallas_call(
+            functools.partial(_sgm_scan3_kernel_init, **kparams),
+            in_specs=[spec], **params)(cost)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_sgm_scan3_kernel_accum, **kparams),
+            in_specs=[spec, spec], input_output_aliases={1: 0},
+            **params)(cost, accum)
+    if pad_n or pad_s:
+        out = out[:, :S, :N]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
@@ -153,15 +236,18 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
                          interpret: bool = False) -> jnp.ndarray:
     """Fused 2/4/8-path SGM aggregation (Pallas fast path).
 
-    Semantically identical to ``ops.sgm.sgm_aggregate`` (tested
-    bit-comparable); directions are realized as: vertical = the kernel
-    fwd/rev, horizontal = transpose + kernel fwd/rev, diagonals = shear +
-    kernel fwd/rev + unshear.
+    Four volume passes total for 8 paths: a transpose pair of plain scans
+    for the horizontal directions, and a fwd/rev pair of *fused* scans for
+    vertical + both diagonals (three carries per pass, diagonals as
+    lane-shifted carries — no shear gathers). Bit-identical to
+    ``ops.sgm.sgm_aggregate`` whenever W fits one N-tile (tests); for wider
+    volumes, internal N-tile boundaries act as frame edges for the
+    *diagonal* paths only (numerically invisible; see parallel/tiling.py
+    halo discussion for the same argument).
     """
     if num_paths not in (2, 4, 8):
         raise ValueError("num_paths must be 2, 4 or 8")
     cost = jnp.asarray(cost, jnp.float32)
-    D, H, W = cost.shape
     kw = dict(p1=p1, p2=p2, interpret=interpret)
 
     # horizontal (0,±1): scan over W -> transpose to (D, W, H)
@@ -172,16 +258,12 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
     if num_paths == 2:
         return total
 
-    # vertical (±1,0): scan over H
-    total = sgm_scan_pallas(cost, total, reverse=False, **kw)
-    total = sgm_scan_pallas(cost, total, reverse=True, **kw)
     if num_paths == 4:
+        total = sgm_scan_pallas(cost, total, reverse=False, **kw)
+        total = sgm_scan_pallas(cost, total, reverse=True, **kw)
         return total
 
-    # diagonals: fwd scan on shear(+1) is (1,1); rev scan is (-1,-1)
-    for direction in (1, -1):
-        sh = _shear(cost, direction)
-        acc = sgm_scan_pallas(sh, None, reverse=False, **kw)
-        acc = sgm_scan_pallas(sh, acc, reverse=True, **kw)
-        total = total + _unshear(acc, direction, W)
+    # 8-path: fused S+SE+SW down-pass and N+NE+NW up-pass
+    total = sgm_scan3_pallas(cost, total, reverse=False, **kw)
+    total = sgm_scan3_pallas(cost, total, reverse=True, **kw)
     return total
