@@ -106,6 +106,28 @@ def build_npz(session_json: str, image_dir: str | None = None,
     return out_path, len(frames)
 
 
+def scan_image_directory(image_dir: str, frames_ts: list[float],
+                         suffix: str = ".jpeg") -> list[tuple[str, int]]:
+    """Match image files to the *nearest* session timestamp.
+
+    The early-ingestion variant (``build_npz_backup.py:94``,
+    ``io_functions.py:96-98``): scan the directory, parse each file's
+    leading timestamp, and pair it with the closest JSON frame. Returns
+    [(filename, frame_index)] sorted by filename.
+    """
+    ts = np.asarray(frames_ts, np.float64)
+    out = []
+    for name in sorted(os.listdir(image_dir)):
+        if not name.endswith(suffix):
+            continue
+        try:
+            stamp = float(name.split("-")[0])
+        except ValueError:
+            continue
+        out.append((name, int(np.argmin(np.abs(ts - stamp)))))
+    return out
+
+
 def load_npz_frames(path: str) -> list[dict]:
     """Load the stage-0 artifact (``hf.npz_load`` surface,
     ``disparity_calculation.py:243``)."""

@@ -29,8 +29,10 @@ import jax.numpy as jnp
 from stereo_match_tpu.ops.census import census_transform, hamming_distance
 
 # Cost assigned where the right-image sample at x-d falls off the frame.
-# Finite (not inf) so SGM arithmetic stays NaN-free in any dtype.
+# Finite (not inf) so SGM arithmetic stays NaN-free in any dtype; the int16
+# value keeps 8-path sums well inside the int16 range (8 * (1024+P2)).
 INVALID_COST = jnp.float32(1e4)
+INVALID_COST_I16 = jnp.int16(1024)
 
 
 def _shift_plane(arr: jnp.ndarray, d) -> jnp.ndarray:
@@ -68,13 +70,21 @@ def _stack_over_disparities(plane_fn, num_disparities: int, min_disparity: int,
     vol = jnp.stack([plane_fn(min_disparity + i)
                      for i in range(num_disparities)], axis=0)
     mask = _invalid_mask(W, num_disparities, min_disparity)
-    return jnp.where(mask, INVALID_COST, vol)
+    invalid = INVALID_COST_I16 if vol.dtype == jnp.int16 else \
+        INVALID_COST.astype(vol.dtype)
+    return jnp.where(mask, invalid, vol)
 
 
 def census_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                        num_disparities: int, min_disparity: int = 0,
-                       window: tuple[int, int] = (5, 5)) -> jnp.ndarray:
-    """(D, H, W) float32 Hamming cost between census descriptors."""
+                       window: tuple[int, int] = (5, 5),
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """(D, H, W) Hamming cost between census descriptors.
+
+    ``dtype``: float32 (default) or int16 — census costs are small
+    integers, and the int16 volume halves HBM traffic through the whole
+    SGM/WTA chain (the TPU fast path).
+    """
     cl = census_transform(left, window)    # (H, W, words)
     cr = census_transform(right, window)
     cl = jnp.moveaxis(cl, -1, 0)           # (words, H, W): planes layout too
@@ -83,7 +93,7 @@ def census_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
     def plane(d):
         shifted = _shift_plane(cr, d)
         x = jax.lax.population_count(jnp.bitwise_xor(cl, shifted))
-        return jnp.sum(x, axis=0).astype(jnp.float32)
+        return jnp.sum(x, axis=0).astype(dtype)
 
     return _stack_over_disparities(plane, num_disparities, min_disparity,
                                    left.shape[-1])
@@ -181,18 +191,21 @@ def bt_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
                                              "cost", "block_size", "window",
-                                             "pre_filter_cap"))
+                                             "pre_filter_cap", "dtype"))
 def build_cost_volume(left: jnp.ndarray, right: jnp.ndarray,
                       num_disparities: int, min_disparity: int = 0,
                       cost: str = "census", block_size: int = 5,
                       window: tuple[int, int] = (5, 5),
-                      pre_filter_cap: int = 63) -> jnp.ndarray:
+                      pre_filter_cap: int = 63,
+                      dtype: str = "float32") -> jnp.ndarray:
     """Dispatch to the named cost family (census | sad | ssd | bt).
 
-    Returns the (D, H, W) planes-layout volume.
+    Returns the (D, H, W) planes-layout volume. ``dtype`` ("float32" or
+    "int16") selects the volume precision; int16 is exact for census.
     """
     if cost == "census":
-        return census_cost_volume(left, right, num_disparities, min_disparity, window)
+        return census_cost_volume(left, right, num_disparities, min_disparity,
+                                  window, dtype=jnp.dtype(dtype))
     if cost == "sad":
         return sad_cost_volume(left, right, num_disparities, min_disparity, block_size)
     if cost == "ssd":

@@ -29,9 +29,23 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _big_for(dtype):
+    """Sentinel larger than any reachable path cost for the dtype."""
+    return 2 ** 28 if jnp.issubdtype(dtype, jnp.integer) else 1e9
+
+
+def _widen(x):
+    """int16 memory -> int32 registers (Mosaic has no int16 min/reduce);
+    floats pass through."""
+    return x.astype(jnp.int32) if x.dtype == jnp.int16 else x
+
+
 def _sgm_step(c, carry, p1, p2):
-    """The SGM recurrence on one (D, TILE_N) slab."""
-    big = jnp.float32(1e9)
+    """The SGM recurrence on one (D, TILE_N) register slab (f32 or i32)."""
+    dt = carry.dtype
+    big = jnp.asarray(_big_for(dt), dt)
+    p1 = jnp.asarray(p1, dt)
+    p2 = jnp.asarray(p2, dt)
     pmin = jnp.min(carry, axis=0, keepdims=True)                 # (1, TILE_N)
     up = jnp.concatenate([jnp.full_like(carry[:1], big), carry[:-1]], axis=0)
     dn = jnp.concatenate([carry[1:], jnp.full_like(carry[:1], big)], axis=0)
@@ -43,17 +57,18 @@ def _sgm_scan_kernel_init(c_ref, out_ref, carry_ref, *, p1, p2, s_blk, reverse):
     """First direction: out = L (no accumulator read).
 
     Each grid step advances the recurrence through ``s_blk`` rows of the
-    block (unrolled; carry stays in registers between sub-rows).
+    block (unrolled; the carry stays in int32/f32 registers between
+    sub-rows and round-trips through the scratch in the storage dtype).
     """
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
-    carry = carry_ref[:]
+    carry = _widen(carry_ref[:])
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
     for k in rows:
-        carry = _sgm_step(c_ref[:, k, :], carry, p1, p2)
-        out_ref[:, k, :] = carry
-    carry_ref[:] = carry
+        carry = _sgm_step(_widen(c_ref[:, k, :]), carry, p1, p2)
+        out_ref[:, k, :] = carry.astype(out_ref.dtype)
+    carry_ref[:] = carry.astype(carry_ref.dtype)
 
 
 def _sgm_scan_kernel_accum(c_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
@@ -62,12 +77,12 @@ def _sgm_scan_kernel_accum(c_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
     @pl.when(pl.program_id(1) == 0)
     def _():
         carry_ref[:] = jnp.zeros_like(carry_ref)
-    carry = carry_ref[:]
+    carry = _widen(carry_ref[:])
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
     for k in rows:
-        carry = _sgm_step(c_ref[:, k, :], carry, p1, p2)
-        out_ref[:, k, :] = acc_ref[:, k, :] + carry
-    carry_ref[:] = carry
+        carry = _sgm_step(_widen(c_ref[:, k, :]), carry, p1, p2)
+        out_ref[:, k, :] = acc_ref[:, k, :] + carry.astype(out_ref.dtype)
+    carry_ref[:] = carry.astype(carry_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -83,7 +98,7 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     ``accum=None`` initializes the total (out = L, no accumulator read).
     """
     D, S, N = cost.shape
-    s_blk = 8                       # rows per grid step (sublane tile)
+    s_blk = 8 if cost.dtype.itemsize == 4 else 16   # sublane tile per dtype
     tile_n = min(tile_n, _cdiv(N, 128) * 128)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
@@ -105,8 +120,8 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     params = dict(
         grid=(n_tiles, n_sblocks),
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(cost.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, tile_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct(cost.shape, cost.dtype),
+        scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -135,9 +150,18 @@ def _sgm_step3(c, cs, cse, csw, p1, p2):
     same trick makes W-tile boundaries behave as frame edges for the
     diagonal paths — see ``sgm_aggregate_pallas(exact_diagonals=...)``.
     """
-    zero_col = jnp.zeros_like(cs[:, :1])
-    cse_sh = jnp.concatenate([zero_col, cse[:, :-1]], axis=1)
-    csw_sh = jnp.concatenate([csw[:, 1:], zero_col], axis=1)
+    if jnp.issubdtype(cs.dtype, jnp.integer):
+        # Mosaic can't lower the i32 lane-shift concat ("offset mismatch on
+        # non-concat dimension"); roll + edge mask compiles for any dtype.
+        n = cse.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, cse.shape, 1)
+        zero = jnp.zeros((), cse.dtype)
+        cse_sh = jnp.where(col == 0, zero, pltpu.roll(cse, 1, axis=1))
+        csw_sh = jnp.where(col == n - 1, zero, pltpu.roll(csw, n - 1, axis=1))
+    else:
+        zero_col = jnp.zeros_like(cs[:, :1])
+        cse_sh = jnp.concatenate([zero_col, cse[:, :-1]], axis=1)
+        csw_sh = jnp.concatenate([csw[:, 1:], zero_col], axis=1)
     Ls = _sgm_step(c, cs, p1, p2)
     Lse = _sgm_step(c, cse_sh, p1, p2)
     Lsw = _sgm_step(c, csw_sh, p1, p2)
@@ -151,12 +175,15 @@ def _sgm_scan3_kernel_init(c_ref, out_ref, cs_ref, cse_ref, csw_ref,
         cs_ref[:] = jnp.zeros_like(cs_ref)
         cse_ref[:] = jnp.zeros_like(cse_ref)
         csw_ref[:] = jnp.zeros_like(csw_ref)
-    cs, cse, csw = cs_ref[:], cse_ref[:], csw_ref[:]
+    cs, cse, csw = (_widen(cs_ref[:]), _widen(cse_ref[:]),
+                    _widen(csw_ref[:]))
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
     for k in rows:
-        cs, cse, csw = _sgm_step3(c_ref[:, k, :], cs, cse, csw, p1, p2)
-        out_ref[:, k, :] = cs + cse + csw
-    cs_ref[:], cse_ref[:], csw_ref[:] = cs, cse, csw
+        cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
+        out_ref[:, k, :] = (cs + cse + csw).astype(out_ref.dtype)
+    cs_ref[:] = cs.astype(cs_ref.dtype)
+    cse_ref[:] = cse.astype(cse_ref.dtype)
+    csw_ref[:] = csw.astype(csw_ref.dtype)
 
 
 def _sgm_scan3_kernel_accum(c_ref, acc_ref, out_ref, cs_ref, cse_ref, csw_ref,
@@ -166,12 +193,15 @@ def _sgm_scan3_kernel_accum(c_ref, acc_ref, out_ref, cs_ref, cse_ref, csw_ref,
         cs_ref[:] = jnp.zeros_like(cs_ref)
         cse_ref[:] = jnp.zeros_like(cse_ref)
         csw_ref[:] = jnp.zeros_like(csw_ref)
-    cs, cse, csw = cs_ref[:], cse_ref[:], csw_ref[:]
+    cs, cse, csw = (_widen(cs_ref[:]), _widen(cse_ref[:]),
+                    _widen(csw_ref[:]))
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
     for k in rows:
-        cs, cse, csw = _sgm_step3(c_ref[:, k, :], cs, cse, csw, p1, p2)
-        out_ref[:, k, :] = acc_ref[:, k, :] + cs + cse + csw
-    cs_ref[:], cse_ref[:], csw_ref[:] = cs, cse, csw
+        cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
+        out_ref[:, k, :] = acc_ref[:, k, :] + (cs + cse + csw).astype(out_ref.dtype)
+    cs_ref[:] = cs.astype(cs_ref.dtype)
+    cse_ref[:] = cse.astype(cse_ref.dtype)
+    csw_ref[:] = csw.astype(csw_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -189,7 +219,7 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     results when VMEM allows.
     """
     D, S, N = cost.shape
-    s_blk = 8
+    s_blk = 8 if cost.dtype.itemsize == 4 else 16
     tile_n = min(tile_n, _cdiv(N, 128) * 128)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
@@ -208,8 +238,8 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     params = dict(
         grid=(n_tiles, n_sblocks),
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(cost.shape, jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, tile_n), jnp.float32)] * 3,
+        out_shape=jax.ShapeDtypeStruct(cost.shape, cost.dtype),
+        scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
@@ -247,7 +277,9 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
     """
     if num_paths not in (2, 4, 8):
         raise ValueError("num_paths must be 2, 4 or 8")
-    cost = jnp.asarray(cost, jnp.float32)
+    cost = jnp.asarray(cost)
+    if cost.dtype not in (jnp.float32, jnp.int16):
+        cost = cost.astype(jnp.float32)
     kw = dict(p1=p1, p2=p2, interpret=interpret)
 
     # horizontal (0,±1): scan over W -> transpose to (D, W, H)

@@ -53,10 +53,13 @@ def scan_direction(cost: jnp.ndarray, p1: float, p2: float,
     multi-chip carry hand-off rely on. ``init_carry`` (D, N) overrides the
     zero initial carry (used by the sharded scan to chain tiles).
     """
-    cost = jnp.asarray(cost, jnp.float32)
-    p1 = jnp.float32(p1)
-    p2 = jnp.float32(p2)
-    big = jnp.float32(1e9)
+    cost = jnp.asarray(cost)
+    if cost.dtype not in (jnp.float32, jnp.int16):
+        cost = cost.astype(jnp.float32)
+    dt = cost.dtype
+    p1 = jnp.asarray(p1, dt)
+    p2 = jnp.asarray(p2, dt)
+    big = jnp.asarray(30000 if dt == jnp.int16 else 1e9, dt)
 
     def step(carry, c_slab):
         prev_min = jnp.min(carry, axis=0, keepdims=True)            # (1, N)
@@ -91,7 +94,7 @@ def _shear(volume: jnp.ndarray, direction: int) -> jnp.ndarray:
     valid = (x >= 0) & (x < W)
     xc = jnp.clip(x, 0, W - 1)
     sheared = volume[:, y, xc]   # (D, H, Ws) gather on the lane axis
-    return jnp.where(valid[None], sheared, 0.0)
+    return jnp.where(valid[None], sheared, jnp.zeros((), volume.dtype))
 
 
 def _unshear(sheared: jnp.ndarray, direction: int, W: int) -> jnp.ndarray:
@@ -135,7 +138,8 @@ def sgm_aggregate(cost: jnp.ndarray, p1: float, p2: float,
     """
     if num_paths not in (2, 4, 8):
         raise ValueError("num_paths must be 2, 4 or 8")
-    total = jnp.zeros(cost.shape, jnp.float32)
+    acc_dtype = jnp.int16 if jnp.asarray(cost).dtype == jnp.int16 else jnp.float32
+    total = jnp.zeros(cost.shape, acc_dtype)
     for dy, dx in PATH_DIRECTIONS_8[:num_paths]:
         total = total + aggregate_direction(cost, dy, dx, p1, p2)
     return total

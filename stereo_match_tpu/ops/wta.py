@@ -26,20 +26,25 @@ def wta_disparity(agg: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(agg, axis=0).astype(jnp.int32)
 
 
+def _big_sentinel(dtype) -> jnp.ndarray:
+    return jnp.asarray(30000 if dtype == jnp.int16 else 1e9, dtype)
+
+
 def _neighbor_costs(agg: jnp.ndarray, disp_idx: jnp.ndarray):
     """(c[d-1], c[d], c[d+1]) at the winner, via shifted one-hot sums.
 
     Planes layout lets the d±1 planes be major-axis shifts; selecting at
-    the winner is a masked reduction (no take_along_axis gather).
+    the winner is a masked reduction (no take_along_axis gather). Returns
+    float32 (H, W) maps regardless of the volume dtype.
     """
     D = agg.shape[0]
-    big = jnp.float32(1e9)
+    big = _big_sentinel(agg.dtype)
     onehot = jax.nn.one_hot(disp_idx, D, axis=0, dtype=agg.dtype)  # (D, H, W)
-    c1 = jnp.sum(agg * onehot, axis=0)
+    c1 = jnp.sum(agg * onehot, axis=0).astype(jnp.float32)
     up = jnp.concatenate([jnp.full_like(agg[:1], big), agg[:-1]], axis=0)
     down = jnp.concatenate([agg[1:], jnp.full_like(agg[:1], big)], axis=0)
-    c0 = jnp.sum(up * onehot, axis=0)
-    c2 = jnp.sum(down * onehot, axis=0)
+    c0 = jnp.sum(up * onehot, axis=0).astype(jnp.float32)
+    c2 = jnp.sum(down * onehot, axis=0).astype(jnp.float32)
     return c0, c1, c2
 
 
@@ -71,8 +76,12 @@ def uniqueness_mask(agg: jnp.ndarray, disp_idx: jnp.ndarray,
     best = jnp.min(agg, axis=0)
     ds = jnp.arange(D)[:, None, None]
     neighbor = jnp.abs(ds - disp_idx[None]) <= 1
-    threshold = best[None] * (100.0 + uniqueness_ratio) / 100.0
-    violates = (agg <= threshold) & ~neighbor
+    # integer-exact form: 100*cost <= (100+r)*best (in int32 to avoid
+    # overflow for int16 volumes; fused into one volume pass by XLA)
+    lhs = agg.astype(jnp.int32 if agg.dtype == jnp.int16 else jnp.float32) * 100
+    rhs = best.astype(jnp.int32 if agg.dtype == jnp.int16 else jnp.float32)[None] \
+        * (100 + uniqueness_ratio)
+    violates = (lhs <= rhs) & ~neighbor
     return ~jnp.any(violates, axis=0)
 
 
@@ -93,7 +102,7 @@ def right_disparity_from_volume(agg: jnp.ndarray,
     xs = x + d
     valid = xs < W
     gathered = jnp.take_along_axis(agg, jnp.clip(xs, 0, W - 1), axis=2)
-    shifted = jnp.where(valid, gathered, jnp.float32(1e9))
+    shifted = jnp.where(valid, gathered, _big_sentinel(agg.dtype))
     return (jnp.argmin(shifted, axis=0) + min_disparity).astype(jnp.float32)
 
 
@@ -126,8 +135,11 @@ def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
 
     The full OpenCV-equivalent WTA stage: argmin, uniqueness, subpixel,
     LR consistency. Speckle filtering is separate (``ops/speckle.py``).
+    Accepts float32 or int16 volumes (dtype-preserving volume passes).
     """
-    agg = jnp.asarray(agg, jnp.float32)
+    agg = jnp.asarray(agg)
+    if agg.dtype not in (jnp.float32, jnp.int16):
+        agg = agg.astype(jnp.float32)
     idx = wta_disparity(agg)
     disp = subpixel_refine(agg, idx) if subpixel else idx.astype(jnp.float32)
     disp = disp + min_disparity

@@ -65,7 +65,8 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
             num_disparities=cfg.num_disparities,
             min_disparity=cfg.min_disparity,
             cost=cfg.cost, block_size=cfg.block_size,
-            window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap)
+            window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap,
+            dtype=cfg.dtype if cfg.cost == "census" else "float32")
     if jax.default_backend() == "cpu":
         agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
     else:
