@@ -4,8 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the BASELINE.md north-star target of 30 fps/chip at 1242x375,
 128 disparities (census cost, 8-path SGM, WTA+subpixel+LR, on-device).
 
-Run on real TPU hardware (no env overrides). Extra detail lines go to
-stderr so stdout stays one JSON line.
+``--all`` additionally benchmarks the other BASELINE.json configs (BM,
+BT+SGM, MC-CNN cost, full pipeline with WLS, ELAS) and writes
+``BENCH_DETAILS.json``; extra prose goes to stderr so stdout stays one
+JSON line.
+
+Run on real TPU hardware (no env overrides). The harness streams K frames
+per dispatch: a per-dispatch measurement would mostly time the ~40 ms
+host->device RPC of the dev tunnel, not kernels (see CLAUDE.md).
 """
 
 import json
@@ -14,35 +20,13 @@ import time
 
 import numpy as np
 
+H, W, D = 375, 1242, 128
 
-def main():
+
+def _stream_fps(core, left, right, K: int = 8, reps: int = 3) -> float:
+    """fps of ``core(left, right) -> disparity`` streamed K frames/dispatch."""
     import jax
     import jax.numpy as jnp
-    from stereo_match_tpu.pipeline.stereo import _match_core
-    from stereo_match_tpu.config import DisparityConfig
-
-    H, W, D = 375, 1242, 128
-    rng = np.random.default_rng(0)
-    # Structured synthetic scene (texture + disparity ramp) — the timing is
-    # content-independent; this avoids shipping dataset bits in-repo.
-    from stereo_match_tpu.data.synthetic import random_dot_pair, slanted_scene
-    gt = slanted_scene(H, W, 5.0, 90.0)
-    left, right = random_dot_pair(H, W, gt, blur=1.0, seed=1)
-    left = jnp.asarray(left)
-    right = jnp.asarray(right)
-
-    cfg = DisparityConfig(num_disparities=D, cost="census",
-                          uniqueness_ratio=0, disp12_max_diff=1,
-                          wls=False, speckle_window_size=0)
-
-    import functools
-    core = functools.partial(_match_core, cfg=cfg)
-
-    # Streaming harness: K frames per dispatch (the production shape — a
-    # video pipeline keeps frames on-device; measuring one dispatch per
-    # frame would mostly measure host->device RPC latency, ~40 ms through
-    # the axon tunnel, not kernel time).
-    K = 10
     lefts = jnp.stack([left + i for i in range(K)])
     rights = jnp.stack([right + i for i in range(K)])
 
@@ -51,26 +35,92 @@ def main():
         def body(i, acc):
             l = jax.lax.dynamic_index_in_dim(ls, i, keepdims=False)
             r = jax.lax.dynamic_index_in_dim(rs, i, keepdims=False)
-            d, _ = core(l, r)
+            d = core(l, r)
             return acc + jnp.nansum(d[::64, ::64])
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
-    float(stream(lefts, rights))  # compile + warm up
-
-    reps = 3
+    float(stream(lefts, rights))            # compile + warm up
     t0 = time.perf_counter()
     for _ in range(reps):
         float(stream(lefts, rights))
-    dt = (time.perf_counter() - t0) / (reps * K)
-    fps = 1.0 / dt
+    return reps * K / (time.perf_counter() - t0)
 
-    print(f"per-frame: {dt*1e3:.2f} ms on {jax.devices()[0]}", file=sys.stderr)
-    print(json.dumps({
+
+def _scene():
+    from stereo_match_tpu.data.synthetic import random_dot_pair, slanted_scene
+    import jax.numpy as jnp
+    gt = slanted_scene(H, W, 5.0, 90.0)
+    left, right = random_dot_pair(H, W, gt, blur=1.0, seed=1)
+    return jnp.asarray(left), jnp.asarray(right), gt
+
+
+def headline() -> dict:
+    import functools
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.pipeline.stereo import _match_core
+    left, right, _ = _scene()
+    cfg = DisparityConfig(num_disparities=D, cost="census",
+                          uniqueness_ratio=0, disp12_max_diff=1,
+                          wls=False, speckle_window_size=0)
+    core = functools.partial(_match_core, cfg=cfg)
+    fps = _stream_fps(lambda l, r: core(l, r)[0], left, right)
+    return {
         "metric": "kitti_sgm_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s (1242x375, D=128, census+SGM8+WTA)",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+    }
+
+
+def all_configs() -> dict:
+    """The BASELINE.json config suite (fps each)."""
+    import functools
+    import jax
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.pipeline.stereo import _match_core
+    left, right, _ = _scene()
+    out = {}
+
+    def run(name, cfg):
+        core = functools.partial(_match_core, cfg=cfg)
+        fps = _stream_fps(lambda l, r: core(l, r)[1], left, right, K=4, reps=2)
+        out[name] = round(fps, 2)
+        print(f"{name:32s} {fps:7.2f} fps", file=sys.stderr)
+
+    base = DisparityConfig(num_disparities=D, uniqueness_ratio=0,
+                           disp12_max_diff=1, speckle_window_size=0, wls=False)
+    run("census_sgm8", base)
+    run("sad_bm_wta", base.replace(cost="sad", num_paths=2, p1=1.0, p2=2.0))
+    run("bt_sgm8", base.replace(cost="bt"))
+    run("census_sgm8_wls", base.replace(wls=True, wls_iters=3,
+                                        lmbda=8000.0, sigma=8.0))
+
+    # MC-CNN learned cost feeding SGM (random-init weights: timing only)
+    import jax.numpy as jnp
+    from stereo_match_tpu.costs import MCCNNCost
+    from stereo_match_tpu.models.mccnn import init_params, make_model
+    model = make_model("fast")
+    params = init_params(model, jax.random.PRNGKey(0))
+    mc_cfg = base.replace(cost="mccnn")
+    provider = MCCNNCost(model, params, mc_cfg)
+    core = functools.partial(_match_core, cfg=mc_cfg, cost_fn=provider)
+    fps = _stream_fps(lambda l, r: core(l, r)[0], left, right, K=2, reps=2)
+    out["mccnn_sgm8"] = round(fps, 2)
+    print(f"{'mccnn_sgm8':32s} {fps:7.2f} fps", file=sys.stderr)
+    return out
+
+
+def main():
+    import jax
+    result = headline()
+    if "--all" in sys.argv:
+        details = {"headline": result, "configs": all_configs(),
+                   "device": str(jax.devices()[0])}
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(details, f, indent=2)
+        print("wrote BENCH_DETAILS.json", file=sys.stderr)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -74,8 +74,16 @@ def cmd_match(args) -> int:
     cfg = _config_from(args)
 
     if args.left and args.right:          # disparity_test.py mode
-        left = to_grayscale(image_read(args.left))
-        right = to_grayscale(image_read(args.right))
+        left = to_grayscale(image_read(args.left)).astype(np.float32)
+        right = to_grayscale(image_read(args.right)).astype(np.float32)
+        if args.enhance:                   # gaussian+unsharp (image_measure)
+            from stereo_match_tpu.ops.filters import image_measure
+            left = np.asarray(image_measure(left))
+            right = np.asarray(image_measure(right))
+        if args.denoise:                   # fastNlMeansDenoising parity
+            from stereo_match_tpu.ops.filters import nl_means_denoise
+            left = np.asarray(nl_means_denoise(left))
+            right = np.asarray(nl_means_denoise(right))
         from stereo_match_tpu.pipeline.stereo import StereoMatcher
         raw, filtered = StereoMatcher(cfg)(left, right)
         raw, filtered = np.asarray(raw), np.asarray(filtered)
@@ -160,6 +168,50 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_train_mccnn(args) -> int:
+    """Train the MC-CNN cost tower on a pair with GT disparity."""
+    import jax
+    from stereo_match_tpu.data.image import image_read, to_grayscale
+    from stereo_match_tpu.data.kitti import read_kitti_disparity
+    from stereo_match_tpu.models import mccnn
+    left = to_grayscale(image_read(args.left)).astype(np.float32)
+    right = to_grayscale(image_read(args.right)).astype(np.float32)
+    gt = np.load(args.gt) if args.gt.endswith(".npy") else read_kitti_disparity(args.gt)
+    model = mccnn.make_model(args.arch)
+    params = mccnn.init_params(model, jax.random.PRNGKey(args.seed))
+    a, p, n = mccnn.sample_training_patches(left, right, gt, args.samples,
+                                            patch=args.patch)
+    bs = args.batch_size
+    batches = [(a[i:i + bs], p[i:i + bs], n[i:i + bs])
+               for i in range(0, len(a), bs)] * args.epochs
+    params, losses = mccnn.train(model, params, batches, args.lr)
+    mccnn.save_params(args.output, params)
+    print(f"trained {len(batches)} steps, loss {losses[0]:.4f} -> "
+          f"{losses[-1]:.4f}; saved to {args.output}")
+    return 0
+
+
+def cmd_mono(args) -> int:
+    """Single-image disparity via the monodepth model."""
+    import jax
+    from stereo_match_tpu.data.image import image_read, image_save
+    from stereo_match_tpu.models import monodepth as md
+    from stereo_match_tpu.viz.plots import colorize_disparity
+    model = md.MonodepthNet()
+    if args.checkpoint:
+        from stereo_match_tpu.models.mccnn import load_params
+        params = load_params(args.checkpoint)
+    else:
+        params = md.init_params(model, jax.random.PRNGKey(0))
+        print("warning: no --checkpoint; using random weights", file=sys.stderr)
+    img = image_read(args.image)
+    disp = md.predict_disparity(model, params, img)
+    np.save(args.output + ".npy", disp)
+    image_save(args.output, colorize_disparity(disp))
+    print(f"monocular disparity -> {args.output}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import bench
     bench.main()
@@ -202,6 +254,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--disparity_band", type=float, nargs=2, default=None)
     m.add_argument("--focal", type=float, default=1164.0)
     m.add_argument("--baseline", type=float, default=22.0)
+    m.add_argument("--enhance", action="store_true",
+                   help="gaussian+unsharp pre-filter (image_measure parity)")
+    m.add_argument("--denoise", action="store_true",
+                   help="non-local-means denoise before matching")
     _add_settings_args(m)
     m.set_defaults(fn=cmd_match)
 
@@ -223,6 +279,26 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("pred")
     e.add_argument("gt")
     e.set_defaults(fn=cmd_eval)
+
+    t = sub.add_parser("train-mccnn", help="train the learned matching cost")
+    t.add_argument("--left", required=True)
+    t.add_argument("--right", required=True)
+    t.add_argument("--gt", required=True, help="GT disparity (.npy or KITTI png)")
+    t.add_argument("--output", default="mccnn_ckpt")
+    t.add_argument("--arch", default="fast", choices=["fast", "accurate"])
+    t.add_argument("--samples", type=int, default=4096)
+    t.add_argument("--patch", type=int, default=12)
+    t.add_argument("--batch_size", type=int, default=256)
+    t.add_argument("--epochs", type=int, default=4)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=cmd_train_mccnn)
+
+    o = sub.add_parser("mono", help="monocular depth (single image)")
+    o.add_argument("image")
+    o.add_argument("--checkpoint", default=None)
+    o.add_argument("--output", default="mono_disparity.png")
+    o.set_defaults(fn=cmd_mono)
 
     k = sub.add_parser("benchmark", help="fps benchmark (one JSON line)")
     k.set_defaults(fn=cmd_benchmark)
