@@ -299,3 +299,76 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
     total = sgm_scan3_pallas(cost, total, reverse=False, **kw)
     total = sgm_scan3_pallas(cost, total, reverse=True, **kw)
     return total
+
+
+# ----------------------------------------------------------------- WTA ----
+
+def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref):
+    """One volume read -> per-pixel WTA statistics.
+
+    For each pixel of the (D, S_BLK, TILE_N) block: the winning cost and
+    index, the costs at idx±1 (subpixel parabola inputs), and the best
+    cost outside the winner's ±1 neighborhood (uniqueness test input).
+    All are D-axis reductions on VPU registers — the whole WTA stage then
+    needs a single pass over the volume.
+    """
+    c = agg_ref[:].astype(jnp.float32)          # (D, S_BLK, TILE_N)
+    D = c.shape[0]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+    big = jnp.float32(3e9)
+    best = jnp.min(c, axis=0)
+    # argmin with first-occurrence ties: smallest d where c == best
+    idx = jnp.min(jnp.where(c == best[None], d_iota, D), axis=0)
+    idx = idx.astype(jnp.int32)
+    is_m1 = d_iota == (idx - 1)[None]
+    is_p1 = d_iota == (idx + 1)[None]
+    near = jnp.abs(d_iota - idx[None]) <= 1
+    c0 = jnp.min(jnp.where(is_m1, c, big), axis=0)
+    c2 = jnp.min(jnp.where(is_p1, c, big), axis=0)
+    second = jnp.min(jnp.where(near, big, c), axis=0)
+    best_ref[0] = best
+    idx_ref[0] = idx
+    c0_ref[0] = c0
+    c2_ref[0] = c2
+    second_ref[0] = second
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 512,
+                     interpret: bool = False):
+    """(D, H, W) -> (best, idx, c0, c2, second) maps in one volume pass."""
+    D, H, W = agg.shape
+    s_blk = 8
+    tile_n = min(tile_n, _cdiv(W, 128) * 128)
+    n_tiles = _cdiv(W, tile_n)
+    pad_n = n_tiles * tile_n - W
+    n_sblocks = _cdiv(H, s_blk)
+    pad_s = n_sblocks * s_blk - H
+    if pad_n or pad_s:
+        agg = jnp.pad(agg, ((0, 0), (0, pad_s), (0, pad_n)),
+                      constant_values=jnp.asarray(_big_for(agg.dtype) / 4,
+                                                  agg.dtype))
+
+    in_spec = pl.BlockSpec((D, s_blk, tile_n), lambda n, s: (0, s, n),
+                           memory_space=pltpu.VMEM)
+    map_spec = pl.BlockSpec((1, s_blk, tile_n), lambda n, s: (0, s, n),
+                            memory_space=pltpu.VMEM)
+    Hp, Wp = agg.shape[1], agg.shape[2]
+    shapes = (
+        jax.ShapeDtypeStruct((1, Hp, Wp), jnp.float32),   # best
+        jax.ShapeDtypeStruct((1, Hp, Wp), jnp.int32),     # idx
+        jax.ShapeDtypeStruct((1, Hp, Wp), jnp.float32),   # c0
+        jax.ShapeDtypeStruct((1, Hp, Wp), jnp.float32),   # c2
+        jax.ShapeDtypeStruct((1, Hp, Wp), jnp.float32),   # second
+    )
+    outs = pl.pallas_call(
+        _wta_stats_kernel,
+        grid=(n_tiles, n_sblocks),
+        in_specs=[in_spec],
+        out_specs=(map_spec,) * 5,
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(agg)
+    return tuple(o[0, :H, :W] for o in outs)

@@ -151,6 +151,48 @@ def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
     return jnp.where(mask, disp, jnp.nan)
 
 
+@functools.partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio",
+                                             "disp12_max_diff", "subpixel"))
+def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
+                           uniqueness_ratio: int = 15,
+                           disp12_max_diff: int = 1,
+                           subpixel: bool = True) -> jnp.ndarray:
+    """Pallas fast path of :func:`extract_disparity` (same semantics).
+
+    One fused volume pass produces the per-pixel WTA statistics (best,
+    argmin, neighbor costs, second-best outside ±1); the remaining math is
+    (H, W)-sized. Only the LR readout still touches the volume (one shear
+    gather). Tested equivalent to the XLA path.
+    """
+    from stereo_match_tpu.ops.pallas_kernels import wta_stats_pallas
+    agg = jnp.asarray(agg)
+    if agg.dtype not in (jnp.float32, jnp.int16):
+        agg = agg.astype(jnp.float32)
+    D = agg.shape[0]
+    best, idx, c0, c2, second = wta_stats_pallas(agg)
+
+    if subpixel:
+        c1 = best
+        denom = c0 - 2.0 * c1 + c2
+        offset = jnp.where(denom > 1e-9,
+                           (c0 - c2) / (2.0 * jnp.maximum(denom, 1e-9)), 0.0)
+        offset = jnp.clip(offset, -0.5, 0.5)
+        at_edge = (idx == 0) | (idx == D - 1)
+        disp = idx.astype(jnp.float32) + jnp.where(at_edge, 0.0, offset)
+    else:
+        disp = idx.astype(jnp.float32)
+    disp = disp + min_disparity
+
+    if uniqueness_ratio > 0:
+        mask = second * 100.0 > best * (100.0 + uniqueness_ratio)
+    else:
+        mask = jnp.ones(best.shape, bool)
+    disp_right = right_disparity_from_volume(agg, min_disparity)
+    mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
+                                      min_disparity)
+    return jnp.where(mask, disp, jnp.nan)
+
+
 def to_fixed_point(disparity: jnp.ndarray, min_disparity: int = 0) -> jnp.ndarray:
     """float NaN-invalid -> int16 disparity*16 (the reference's on-disk
     contract, ``stereo_vision/stereo_vision.py:144-146``)."""

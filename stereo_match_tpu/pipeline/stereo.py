@@ -67,17 +67,19 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
             cost=cfg.cost, block_size=cfg.block_size,
             window=cfg.census_window, pre_filter_cap=cfg.pre_filter_cap,
             dtype=cfg.dtype if cfg.cost == "census" else "float32")
+    extract_kw = dict(min_disparity=cfg.min_disparity,
+                      uniqueness_ratio=cfg.uniqueness_ratio,
+                      disp12_max_diff=cfg.disp12_max_diff,
+                      subpixel=cfg.subpixel)
     if jax.default_backend() == "cpu":
         agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
+        disp = extract_disparity(agg, **extract_kw)
     else:
         # Pallas fast path on accelerators (identical semantics, tested)
         from stereo_match_tpu.ops.pallas_kernels import sgm_aggregate_pallas
+        from stereo_match_tpu.ops.wta import extract_disparity_fast
         agg = sgm_aggregate_pallas(vol, cfg.P1, cfg.P2, cfg.num_paths)
-    disp = extract_disparity(
-        agg, min_disparity=cfg.min_disparity,
-        uniqueness_ratio=cfg.uniqueness_ratio,
-        disp12_max_diff=cfg.disp12_max_diff,
-        subpixel=cfg.subpixel)
+        disp = extract_disparity_fast(agg, **extract_kw)
     disp = speckle_filter(disp, cfg.speckle_window_size, cfg.speckle_range)
     if cfg.wls:
         filtered = wls_filter_disparity(

@@ -83,3 +83,42 @@ def test_wide_volume_tile_boundary_quality(rng):
                              interpret=True, tile_n=128)
     agree = (np.argmin(a, 0) == np.argmin(np.asarray(total), 0)).mean()
     assert agree > 0.97, agree
+
+
+def test_wta_stats_kernel(rng):
+    from stereo_match_tpu.ops.pallas_kernels import wta_stats_pallas
+    vol = jnp.asarray(rng.uniform(0, 900, (16, 21, 37)).astype(np.float32))
+    best, idx, c0, c2, second = wta_stats_pallas(vol, interpret=True)
+    v = np.asarray(vol)
+    D = 16
+    ref_idx = v.argmin(0)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(best), v.min(0))
+    mask = np.abs(np.arange(D)[:, None, None] - ref_idx[None]) <= 1
+    np.testing.assert_allclose(np.asarray(second),
+                               np.where(mask, 3e9, v).min(0))
+
+
+def test_extract_disparity_fast_matches_reference(rng):
+    """The fused Pallas WTA path equals the XLA extract_disparity."""
+    from stereo_match_tpu.ops.wta import extract_disparity, extract_disparity_fast
+    from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+    from stereo_match_tpu.ops.cost_volume import build_cost_volume
+    from stereo_match_tpu.ops.sgm import sgm_aggregate
+    gt = box_scene(40, 56)
+    left, right = random_dot_pair(40, 56, gt, blur=0.8)
+    vol = build_cost_volume(jnp.asarray(left), jnp.asarray(right), 16)
+    agg = sgm_aggregate(vol, 8.0, 96.0, 8)
+    for ur, d12, sp in ((0, 1, True), (15, 1, True), (0, -1, False)):
+        a = np.asarray(extract_disparity(agg, 0, ur, d12, sp))
+        # interpret-mode pallas on CPU
+        import stereo_match_tpu.ops.pallas_kernels as pk
+        import functools as ft
+        orig = pk.wta_stats_pallas
+        pk_interp = ft.partial(orig, interpret=True)
+        pk.wta_stats_pallas = pk_interp
+        try:
+            b = np.asarray(extract_disparity_fast(agg, 0, ur, d12, sp))
+        finally:
+            pk.wta_stats_pallas = orig
+        np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
