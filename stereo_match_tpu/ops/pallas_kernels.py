@@ -345,9 +345,11 @@ def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 512,
     n_sblocks = _cdiv(H, s_blk)
     pad_s = n_sblocks * s_blk - H
     if pad_n or pad_s:
+        # Pad with a large *representable* cost so padded cells never win
+        # the argmin (int16 volumes: 2^14 > any reachable 8-path total).
+        pad_val = 2 ** 14 if jnp.issubdtype(agg.dtype, jnp.integer) else 1e9 / 4
         agg = jnp.pad(agg, ((0, 0), (0, pad_s), (0, pad_n)),
-                      constant_values=jnp.asarray(_big_for(agg.dtype) / 4,
-                                                  agg.dtype))
+                      constant_values=jnp.asarray(pad_val, agg.dtype))
 
     in_spec = pl.BlockSpec((D, s_blk, tile_n), lambda n, s: (0, s, n),
                            memory_space=pltpu.VMEM)

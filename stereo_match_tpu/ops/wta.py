@@ -95,15 +95,20 @@ def right_disparity_from_volume(agg: jnp.ndarray,
     precision — used only for the consistency check, as in OpenCV).
     """
     D, H, W = agg.shape
-    # One shear gather along the lane axis: shifted[d, y, x] = agg[d, y, x+d]
-    # (a per-plane left-shift; the d-sloped analog of the diagonal shear).
-    x = jnp.arange(W)[None, None, :]
+    big = _big_sentinel(agg.dtype)
+    # Gather-free shear: in (D, W, H) order the (d, x) axes are adjacent, so
+    # appending one big-cost row per d-plane and re-chunking rows of length
+    # W+1 shifts each successive plane left by one more pixel:
+    #   sheared[d, xr] = flat[d*(W+1) + xr] = agg[d, :, xr + d].
+    # Pure reshape/pad/slice — no take_along_axis (slow on TPU).
+    flat = jnp.swapaxes(agg, 1, 2).reshape(D * W, H)
+    flat = jnp.concatenate([flat, jnp.full((D, H), big, agg.dtype)], axis=0)
+    sheared = flat.reshape(D, W + 1, H)[:, :W, :]
+    xr = jnp.arange(W)[None, :, None]
     d = jnp.arange(D)[:, None, None]
-    xs = x + d
-    valid = xs < W
-    gathered = jnp.take_along_axis(agg, jnp.clip(xs, 0, W - 1), axis=2)
-    shifted = jnp.where(valid, gathered, _big_sentinel(agg.dtype))
-    return (jnp.argmin(shifted, axis=0) + min_disparity).astype(jnp.float32)
+    sheared = jnp.where(xr + d < W, sheared, big)
+    idx = jnp.argmin(sheared, axis=0)                       # (W, H)
+    return (idx.T + min_disparity).astype(jnp.float32)
 
 
 def lr_consistency_mask(disp_left: jnp.ndarray, disp_right: jnp.ndarray,

@@ -298,3 +298,19 @@ def test_parity_with_opencv_sgbm():
     ref_bad3 = float(bad_pixel_rate(ref, gt, 3.0, 0.0))
     my_bad3 = float(bad_pixel_rate(disp, gt, 3.0, 0.0))
     assert my_bad3 <= ref_bad3 + 0.02, (my_bad3, ref_bad3)
+
+
+def test_right_disparity_brute_force():
+    """Gather-free shear readout == brute-force C_R(xr) = min_d C_L(xr+d, d),
+    for float32 and int16 volumes (odd sizes exercise the pad/reshape)."""
+    rng = np.random.default_rng(3)
+    H, W, D = 5, 19, 8
+    vol = rng.uniform(0, 500, (D, H, W)).astype(np.float32)
+    for v in (vol, vol.astype(np.int16)):
+        dr = np.asarray(right_disparity_from_volume(jnp.asarray(v)))
+        ref = np.zeros((H, W), np.float32)
+        for y in range(H):
+            for xr in range(W):
+                costs = [v[d, y, xr + d] for d in range(D) if xr + d < W]
+                ref[y, xr] = int(np.argmin(costs))
+        np.testing.assert_array_equal(dr, ref)

@@ -122,3 +122,36 @@ def test_extract_disparity_fast_matches_reference(rng):
         finally:
             pk.wta_stats_pallas = orig
         np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
+
+
+def test_wta_stats_kernel_int16(rng):
+    """int16 volumes through the stats kernel (incl. the pad path: odd
+    sizes force padding, whose fill must be representable in int16)."""
+    from stereo_match_tpu.ops.pallas_kernels import wta_stats_pallas
+    v = rng.integers(0, 900, (16, 21, 37)).astype(np.int16)
+    best, idx, c0, c2, second = wta_stats_pallas(jnp.asarray(v), interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), v.argmin(0))
+    np.testing.assert_allclose(np.asarray(best), v.min(0).astype(np.float32))
+
+
+def test_extract_disparity_fast_int16(rng):
+    """Fast path on an int16 aggregated volume == XLA reference path."""
+    from stereo_match_tpu.ops.wta import extract_disparity, extract_disparity_fast
+    from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+    from stereo_match_tpu.ops.cost_volume import build_cost_volume
+    gt = box_scene(40, 56)
+    left, right = random_dot_pair(40, 56, gt, blur=0.8)
+    vol = build_cost_volume(jnp.asarray(left), jnp.asarray(right), 16,
+                            dtype="int16")
+    agg = sgm_aggregate_pallas(vol, 8.0, 96.0, 8, interpret=True)
+    assert agg.dtype == jnp.int16
+    a = np.asarray(extract_disparity(agg, 0, 15, 1, True))
+    import functools as ft
+    import stereo_match_tpu.ops.pallas_kernels as pk
+    orig = pk.wta_stats_pallas
+    pk.wta_stats_pallas = ft.partial(orig, interpret=True)
+    try:
+        b = np.asarray(extract_disparity_fast(agg, 0, 15, 1, True))
+    finally:
+        pk.wta_stats_pallas = orig
+    np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
