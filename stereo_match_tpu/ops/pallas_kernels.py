@@ -303,6 +303,78 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
 
 # ----------------------------------------------------------------- WTA ----
 
+def _right_wta_kernel(c_ref, idx_ref, *, w_true, d_levels):
+    """Right-view WTA over the left-anchored volume, one block pass.
+
+    Computes argmin_d C(d, y, xr + d) for every xr without any shear or
+    transpose: iterate d downward keeping the accumulator anchored at
+    x = xr + d, so each step is ONE static lane shift —
+    A_d(x) = min(C[d](x), A_{d+1}(x + 1)) and A_0(xr) is the answer.
+    Ties keep the smallest d (<= update while descending), matching
+    jnp.argmin first-occurrence semantics in the XLA reference
+    (``ops.wta.right_disparity_from_volume``).
+    """
+    shape = c_ref.shape[1:]                      # (s_blk, Wp)
+    wp = shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    big = jnp.full(shape, 2 ** 28, jnp.int32)
+    oob = col >= w_true                          # x beyond the true width
+
+    def body(i, carry):
+        acc, idx = carry
+        d = d_levels - 1 - i
+        slab = c_ref[pl.dslice(d, 1), :, :]
+        slab = _widen(slab.reshape(shape))
+        if slab.dtype != jnp.int32:              # float volumes: scale-free
+            slab = slab.astype(jnp.float32)
+        slab = jnp.where(oob, big.astype(slab.dtype), slab)
+        acc_sh = jnp.where(col == wp - 1, big.astype(acc.dtype),
+                           pltpu.roll(acc, wp - 1, axis=1))
+        idx_sh = pltpu.roll(idx, wp - 1, axis=1)
+        upd = slab <= acc_sh
+        return (jnp.where(upd, slab, acc_sh), jnp.where(upd, d, idx_sh))
+
+    dt = jnp.int32 if c_ref.dtype in (jnp.int16, jnp.int32) else jnp.float32
+    acc0 = big.astype(dt)
+    idx0 = jnp.zeros(shape, jnp.int32)
+    _, idx = jax.lax.fori_loop(0, d_levels, body, (acc0, idx0))
+    idx_ref[0] = idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def right_wta_pallas(agg: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(D, H, W) volume -> right-view integer WTA disparity (H, W) int32.
+
+    Pallas fast path of ``ops.wta.right_disparity_from_volume`` (same
+    semantics, tested equivalent): one volume read, no transposes, no
+    shear copies.
+    """
+    D, H, W = agg.shape
+    s_blk = 8
+    wp = _cdiv(W, 128) * 128
+    n_sblocks = _cdiv(H, s_blk)
+    pad_s = n_sblocks * s_blk - H
+    if wp - W or pad_s:
+        # pad value irrelevant: the kernel masks x >= W with a big cost
+        agg = jnp.pad(agg, ((0, 0), (0, pad_s), (0, wp - W)))
+    in_spec = pl.BlockSpec((D, s_blk, wp), lambda s: (0, s, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, s_blk, wp), lambda s: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    idx = pl.pallas_call(
+        functools.partial(_right_wta_kernel, w_true=W, d_levels=D),
+        grid=(n_sblocks,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1, agg.shape[1], wp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(agg)
+    return idx[0, :H, :W]
+
+
+
 def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref):
     """One volume read -> per-pixel WTA statistics.
 

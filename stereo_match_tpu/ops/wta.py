@@ -165,11 +165,12 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
     """Pallas fast path of :func:`extract_disparity` (same semantics).
 
     One fused volume pass produces the per-pixel WTA statistics (best,
-    argmin, neighbor costs, second-best outside ±1); the remaining math is
-    (H, W)-sized. Only the LR readout still touches the volume (one shear
-    gather). Tested equivalent to the XLA path.
+    argmin, neighbor costs, second-best outside ±1); a second kernel pass
+    produces the right-view WTA for the LR check (no transposes/shears).
+    The remaining math is (H, W)-sized. Tested equivalent to the XLA path.
     """
-    from stereo_match_tpu.ops.pallas_kernels import wta_stats_pallas
+    from stereo_match_tpu.ops.pallas_kernels import (right_wta_pallas,
+                                                     wta_stats_pallas)
     agg = jnp.asarray(agg)
     if agg.dtype not in (jnp.float32, jnp.int16):
         agg = agg.astype(jnp.float32)
@@ -192,9 +193,10 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
         mask = second * 100.0 > best * (100.0 + uniqueness_ratio)
     else:
         mask = jnp.ones(best.shape, bool)
-    disp_right = right_disparity_from_volume(agg, min_disparity)
-    mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
-                                      min_disparity)
+    if disp12_max_diff >= 0:
+        disp_right = (right_wta_pallas(agg) + min_disparity).astype(jnp.float32)
+        mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
+                                          min_disparity)
     return jnp.where(mask, disp, jnp.nan)
 
 

@@ -112,16 +112,42 @@ def test_extract_disparity_fast_matches_reference(rng):
     for ur, d12, sp in ((0, 1, True), (15, 1, True), (0, -1, False)):
         a = np.asarray(extract_disparity(agg, 0, ur, d12, sp))
         # interpret-mode pallas on CPU
-        import stereo_match_tpu.ops.pallas_kernels as pk
-        import functools as ft
-        orig = pk.wta_stats_pallas
-        pk_interp = ft.partial(orig, interpret=True)
-        pk.wta_stats_pallas = pk_interp
-        try:
+        with _interpret_wta_kernels():
             b = np.asarray(extract_disparity_fast(agg, 0, ur, d12, sp))
-        finally:
-            pk.wta_stats_pallas = orig
         np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
+
+
+def _interpret_wta_kernels():
+    """Context: run the WTA-stage Pallas kernels in interpret mode (CPU)."""
+    import contextlib
+    import functools as ft
+    import stereo_match_tpu.ops.pallas_kernels as pk
+
+    @contextlib.contextmanager
+    def ctx():
+        origs = (pk.wta_stats_pallas, pk.right_wta_pallas)
+        pk.wta_stats_pallas = ft.partial(origs[0], interpret=True)
+        pk.right_wta_pallas = ft.partial(origs[1], interpret=True)
+        try:
+            yield
+        finally:
+            pk.wta_stats_pallas, pk.right_wta_pallas = origs
+
+    return ctx()
+
+
+def test_right_wta_kernel_matches_reference(rng):
+    """right_wta_pallas == the XLA shear readout, f32 and int16, odd sizes."""
+    from stereo_match_tpu.ops.pallas_kernels import right_wta_pallas
+    from stereo_match_tpu.ops.wta import right_disparity_from_volume
+    for dtype, shape in ((np.float32, (16, 21, 37)),
+                         (np.int16, (16, 21, 37)),
+                         (np.float32, (8, 8, 256)),
+                         (np.int16, (32, 17, 150))):
+        v = rng.integers(0, 900, shape).astype(dtype)
+        ref = np.asarray(right_disparity_from_volume(jnp.asarray(v)))
+        got = np.asarray(right_wta_pallas(jnp.asarray(v), interpret=True))
+        np.testing.assert_array_equal(got.astype(np.float32), ref)
 
 
 def test_wta_stats_kernel_int16(rng):
@@ -146,12 +172,6 @@ def test_extract_disparity_fast_int16(rng):
     agg = sgm_aggregate_pallas(vol, 8.0, 96.0, 8, interpret=True)
     assert agg.dtype == jnp.int16
     a = np.asarray(extract_disparity(agg, 0, 15, 1, True))
-    import functools as ft
-    import stereo_match_tpu.ops.pallas_kernels as pk
-    orig = pk.wta_stats_pallas
-    pk.wta_stats_pallas = ft.partial(orig, interpret=True)
-    try:
+    with _interpret_wta_kernels():
         b = np.asarray(extract_disparity_fast(agg, 0, 15, 1, True))
-    finally:
-        pk.wta_stats_pallas = orig
     np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
