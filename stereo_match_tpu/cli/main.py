@@ -67,6 +67,43 @@ def cmd_rectify(args) -> int:
     return 0
 
 
+def _method_matcher(args, cfg):
+    """Resolve --method to a ``(left, right) -> (raw, filtered)`` callable.
+
+    The four matcher families mirror the reference's paths: SGBM/BM
+    (``stereo_vision/stereo_vision.py:153-166``), ELAS
+    (``libelas/script.py``), MC-CNN (``mc_cnn/script.py``)."""
+    method = args.method
+    if method == "bm":
+        cfg = cfg.replace(cost="sad", num_paths=2, p1=0.0, p2=1e-3)
+    if method == "elas":
+        from stereo_match_tpu.pipeline.elas import elas_match
+
+        def run(left, right):
+            disp = elas_match(left, right,
+                              num_disparities=cfg.num_disparities,
+                              min_disparity=cfg.min_disparity)
+            return disp, disp
+        return run, cfg
+    if method == "mccnn":
+        import jax
+        from stereo_match_tpu.costs import MCCNNCost
+        from stereo_match_tpu.models import mccnn
+        model = mccnn.make_model(args.arch)
+        if args.mccnn_checkpoint:
+            params = mccnn.load_params(args.mccnn_checkpoint)
+        else:
+            params = mccnn.init_params(model, jax.random.PRNGKey(0))
+            print("warning: no --mccnn_checkpoint; random weights",
+                  file=sys.stderr)
+        cfg = cfg.replace(cost="mccnn")
+        provider = MCCNNCost(model, params, cfg)
+        from stereo_match_tpu.pipeline.stereo import StereoMatcher
+        return StereoMatcher(cfg, cost_fn=provider), cfg
+    from stereo_match_tpu.pipeline.stereo import StereoMatcher
+    return StereoMatcher(cfg), cfg
+
+
 def cmd_match(args) -> int:
     from stereo_match_tpu.config import DisparityConfig
     from stereo_match_tpu.data.image import image_read, image_save, to_grayscale
@@ -84,8 +121,8 @@ def cmd_match(args) -> int:
             from stereo_match_tpu.ops.filters import nl_means_denoise
             left = np.asarray(nl_means_denoise(left))
             right = np.asarray(nl_means_denoise(right))
-        from stereo_match_tpu.pipeline.stereo import StereoMatcher
-        raw, filtered = StereoMatcher(cfg)(left, right)
+        matcher, cfg = _method_matcher(args, cfg)
+        raw, filtered = matcher(left, right)
         raw, filtered = np.asarray(raw), np.asarray(filtered)
         image_save(args.disp_out, colorize_disparity(filtered))
         np.save(args.disp_out + ".npy", filtered)
@@ -116,9 +153,11 @@ def cmd_match(args) -> int:
     if args.portrait:
         K1 = portrait_swap_principal_point(K1)
         K2 = portrait_swap_principal_point(K2)
+    matcher, cfg = _method_matcher(args, cfg)
     res = run_pipeline(
         f1["extrinsic"], f2["extrinsic"], K1, K2,
         f1["image_mat"], f2["image_mat"], config=cfg, alpha=args.alpha,
+        matcher=matcher,
         ply_path=args.ply_out if args.write_ply else None,
         disparity_band=tuple(args.disparity_band) if args.disparity_band else None)
     image_save(args.disp_out, colorize_disparity(res.disparity_filtered))
@@ -258,6 +297,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="gaussian+unsharp pre-filter (image_measure parity)")
     m.add_argument("--denoise", action="store_true",
                    help="non-local-means denoise before matching")
+    m.add_argument("--method", default="sgbm",
+                   choices=["sgbm", "bm", "elas", "mccnn"],
+                   help="matcher family (reference: SGBM/BM modes, "
+                        "libelas, mc-cnn)")
+    m.add_argument("--mccnn_checkpoint", default=None,
+                   help="trained MC-CNN weights (from smt train-mccnn)")
+    m.add_argument("--arch", default="fast", choices=["fast", "accurate"],
+                   help="MC-CNN tower variant")
     _add_settings_args(m)
     m.set_defaults(fn=cmd_match)
 

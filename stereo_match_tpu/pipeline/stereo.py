@@ -137,11 +137,14 @@ def run_pipeline(pose_l, pose_r, K_l, K_r, image_l, image_r,
                  reproject: bool = True,
                  ply_path: str | None = None,
                  q_override: np.ndarray | None = None,
-                 disparity_band: tuple[float, float] | None = None) -> StereoResult:
+                 disparity_band: tuple[float, float] | None = None,
+                 matcher=None) -> StereoResult:
     """Full flagship flow on one pair (``disparity_calculation.py`` parity).
 
     ``q_override`` reproduces the reference's hard-coded-Q quirk
     (:293-299); ``disparity_band`` its (10, 20) PLY mask (:312).
+    ``matcher`` overrides the matching stage with any
+    ``(gray_l, gray_r) -> (raw, filtered)`` callable (ELAS, MC-CNN, ...).
     """
     cfg = config or DisparityConfig()
     rect_l, rect_r, rectification = rectify_pair(
@@ -150,7 +153,7 @@ def run_pipeline(pose_l, pose_r, K_l, K_r, image_l, image_r,
     gray_l = to_grayscale(np.asarray(rect_l))
     gray_r = to_grayscale(np.asarray(rect_r))
 
-    matcher = StereoMatcher(cfg)
+    matcher = matcher or StereoMatcher(cfg)
     raw, filtered = matcher(gray_l, gray_r)
     result = StereoResult(
         disparity=np.asarray(raw),

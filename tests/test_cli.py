@@ -87,3 +87,20 @@ def test_eval_cli(tmp_path, capsys):
     assert main(["eval", pp, gp]) == 0
     scores = json.loads(capsys.readouterr().out)
     assert scores["epe"] == pytest.approx(0.5, abs=1e-3)
+
+
+def test_match_method_variants(tmp_path):
+    """--method bm/elas/mccnn run end-to-end in images mode."""
+    gt = box_scene(48, 64)
+    left, right = random_dot_pair(48, 64, gt, blur=0.8)
+    lp, rp = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+    image_save(lp, left.astype(np.uint8))
+    image_save(rp, right.astype(np.uint8))
+    for method in ("bm", "elas", "mccnn"):
+        out = str(tmp_path / f"d_{method}.png")
+        assert main(["match", "--left", lp, "--right", rp,
+                     "--num_disparities", "16", "--method", method,
+                     "--disp_out", out]) == 0
+        disp = np.load(out + ".npy")
+        assert disp.shape == (48, 64)
+        assert np.isfinite(disp).mean() > 0.5
