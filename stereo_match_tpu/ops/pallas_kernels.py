@@ -90,7 +90,7 @@ def _sgm_scan_kernel_accum(c_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
                                     "interpret"))
 def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
                     p1: float, p2: float, reverse: bool = False,
-                    tile_n: int = 512,
+                    tile_n: int = 640,
                     interpret: bool = False) -> jnp.ndarray:
     """Scan along axis 1 of (D, S, N), adding into ``accum`` (aliased).
 
@@ -99,6 +99,8 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16   # sublane tile per dtype
+    if cost.dtype.itemsize == 4:
+        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
     tile_n = min(tile_n, _cdiv(N, 128) * 128)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
@@ -204,12 +206,127 @@ def _sgm_scan3_kernel_accum(c_ref, acc_ref, out_ref, cs_ref, cse_ref, csw_ref,
     csw_ref[:] = csw.astype(csw_ref.dtype)
 
 
+def _wta_stats_rows(tot, d_iota):
+    """Per-row WTA statistics of a (D, TILE_N) float32 total slab.
+
+    Same math as ``_wta_stats_kernel`` (bit-identical outputs, tested):
+    winner cost/index, the d±1 neighbor costs, and the best cost outside
+    the winner's ±1 neighborhood.
+    """
+    D = tot.shape[0]
+    big = jnp.float32(3e9)
+    best = jnp.min(tot, axis=0)
+    idx = jnp.min(jnp.where(tot == best[None], d_iota, D), axis=0)
+    idx = idx.astype(jnp.int32)
+    is_m1 = d_iota == (idx - 1)[None]
+    is_p1 = d_iota == (idx + 1)[None]
+    near = jnp.abs(d_iota - idx[None]) <= 1
+    c0 = jnp.min(jnp.where(is_m1, tot, big), axis=0)
+    c2 = jnp.min(jnp.where(is_p1, tot, big), axis=0)
+    second = jnp.min(jnp.where(near, big, tot), axis=0)
+    return best, idx, c0, c2, second
+
+
+def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
+                                  c0_ref, c2_ref, second_ref,
+                                  cs_ref, cse_ref, csw_ref,
+                                  *, p1, p2, s_blk, reverse):
+    """Reverse fused scan that ALSO emits the final WTA statistics.
+
+    The reverse 3-direction pass is the last time the full aggregated
+    total passes through registers — reducing it to the five per-pixel
+    stats maps here saves the separate ``wta_stats_pallas`` volume read.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        cse_ref[:] = jnp.zeros_like(cse_ref)
+        csw_ref[:] = jnp.zeros_like(csw_ref)
+    cs, cse, csw = (_widen(cs_ref[:]), _widen(cse_ref[:]),
+                    _widen(csw_ref[:]))
+    rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    d_iota = None
+    stats = [None] * s_blk
+    for k in rows:
+        cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
+        tot = _widen(acc_ref[:, k, :]) + (cs + cse + csw)
+        out_ref[:, k, :] = tot.astype(out_ref.dtype)
+        totf = tot.astype(jnp.float32)
+        if d_iota is None:
+            d_iota = jax.lax.broadcasted_iota(jnp.int32, totf.shape, 0)
+        stats[k] = _wta_stats_rows(totf, d_iota)
+    cs_ref[:] = cs.astype(cs_ref.dtype)
+    cse_ref[:] = cse.astype(cse_ref.dtype)
+    csw_ref[:] = csw.astype(csw_ref.dtype)
+    for ref, j in ((best_ref, 0), (idx_ref, 1), (c0_ref, 2), (c2_ref, 3),
+                   (second_ref, 4)):
+        ref[0] = jnp.stack([stats[k][j] for k in range(s_blk)], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p1", "p2", "reverse", "tile_n",
+                                    "interpret"))
+def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
+                           p1: float, p2: float, reverse: bool = True,
+                           tile_n: int = 640, interpret: bool = False):
+    """Final fused S/SE/SW (reversed: N/NE/NW) pass + WTA statistics.
+
+    Returns ``(total, best, idx, c0, c2, second)`` — the aggregated volume
+    (aliased into ``accum``) plus the five per-pixel maps that
+    ``wta_stats_pallas`` would otherwise re-read the volume to compute.
+    """
+    D, S, N = cost.shape
+    s_blk = 8 if cost.dtype.itemsize == 4 else 16
+    if cost.dtype.itemsize == 4:
+        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
+    tile_n = min(tile_n, _cdiv(N, 128) * 128)
+    n_tiles = _cdiv(N, tile_n)
+    pad_n = n_tiles * tile_n - N
+    n_sblocks = _cdiv(S, s_blk)
+    pad_s = n_sblocks * s_blk - S
+    if pad_n or pad_s:
+        pads = ((0, 0), (0, pad_s), (0, pad_n))
+        cost = jnp.pad(cost, pads)
+        accum = jnp.pad(accum, pads)
+
+    def idx(n, s):
+        return (0, (n_sblocks - 1 - s) if reverse else s, n)
+
+    spec = pl.BlockSpec((D, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
+    map_spec = pl.BlockSpec((1, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
+    Sp, Np = cost.shape[1], cost.shape[2]
+    out_shapes = (
+        jax.ShapeDtypeStruct(cost.shape, cost.dtype),     # total (aliased)
+        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # best
+        jax.ShapeDtypeStruct((1, Sp, Np), jnp.int32),     # idx
+        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # c0
+        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # c2
+        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # second
+    )
+    outs = pl.pallas_call(
+        functools.partial(_sgm_scan3_kernel_accum_stats, p1=float(p1),
+                          p2=float(p2), s_blk=s_blk, reverse=reverse),
+        grid=(n_tiles, n_sblocks),
+        in_specs=[spec, spec],
+        out_specs=(spec,) + (map_spec,) * 5,
+        out_shape=out_shapes,
+        input_output_aliases={1: 0},
+        scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(cost, accum)
+    total = outs[0][:, :S, :N]
+    maps = tuple(o[0, :S, :N] for o in outs[1:])
+    return (total,) + maps
+
+
 @functools.partial(jax.jit,
                    static_argnames=("p1", "p2", "reverse", "tile_n",
                                     "interpret"))
 def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
                      p1: float, p2: float, reverse: bool = False,
-                     tile_n: int = 512,
+                     tile_n: int = 640,
                      interpret: bool = False) -> jnp.ndarray:
     """Fused S+SE+SW (or, reversed, N+NE+NW) scan over (D, S, N).
 
@@ -220,6 +337,8 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16
+    if cost.dtype.itemsize == 4:
+        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
     tile_n = min(tile_n, _cdiv(N, 128) * 128)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
@@ -263,6 +382,7 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
                                              "interpret"))
 def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
                          num_paths: int = 8,
+                         cost_T: jnp.ndarray | None = None,
                          interpret: bool = False) -> jnp.ndarray:
     """Fused 2/4/8-path SGM aggregation (Pallas fast path).
 
@@ -282,8 +402,10 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
         cost = cost.astype(jnp.float32)
     kw = dict(p1=p1, p2=p2, interpret=interpret)
 
-    # horizontal (0,±1): scan over W -> transpose to (D, W, H)
-    volT = jnp.swapaxes(cost, 1, 2)
+    # horizontal (0,±1): scan over W on the (D, W, H) volume. Passing a
+    # pre-built ``cost_T`` (census_volume_T_pallas) skips a 2x-volume
+    # HBM transpose here.
+    volT = jnp.swapaxes(cost, 1, 2) if cost_T is None else cost_T
     tot_T = sgm_scan_pallas(volT, None, reverse=False, **kw)
     tot_T = sgm_scan_pallas(volT, tot_T, reverse=True, **kw)
     total = jnp.swapaxes(tot_T, 1, 2)
@@ -299,6 +421,191 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
     total = sgm_scan3_pallas(cost, total, reverse=False, **kw)
     total = sgm_scan3_pallas(cost, total, reverse=True, **kw)
     return total
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
+                                             "interpret"))
+def sgm_aggregate_wta_pallas(cost: jnp.ndarray, p1: float, p2: float,
+                             num_paths: int = 8,
+                             cost_T: jnp.ndarray | None = None,
+                             interpret: bool = False):
+    """Aggregation with the WTA statistics fused into the last pass.
+
+    Returns ``(total, (best, idx, c0, c2, second))`` — semantically
+    ``(sgm_aggregate_pallas(...), wta_stats_pallas(total))`` (tested
+    equal) but with one fewer full-volume HBM read for the 8-path case.
+    """
+    if num_paths != 8:
+        total = sgm_aggregate_pallas(cost, p1, p2, num_paths, cost_T=cost_T,
+                                     interpret=interpret)
+        return total, wta_stats_pallas(total, interpret=interpret)
+    cost = jnp.asarray(cost)
+    if cost.dtype not in (jnp.float32, jnp.int16):
+        cost = cost.astype(jnp.float32)
+    kw = dict(p1=p1, p2=p2, interpret=interpret)
+    volT = jnp.swapaxes(cost, 1, 2) if cost_T is None else cost_T
+    tot_T = sgm_scan_pallas(volT, None, reverse=False, **kw)
+    tot_T = sgm_scan_pallas(volT, tot_T, reverse=True, **kw)
+    total = jnp.swapaxes(tot_T, 1, 2)
+    total = sgm_scan3_pallas(cost, total, reverse=False, **kw)
+    out = sgm_scan3_stats_pallas(cost, total, reverse=True, **kw)
+    return out[0], out[1:]
+
+
+# ------------------------------------------------------- cost volumes ----
+
+def _census_vol_kernel(cl_ref, cr_ref, out_ref, *, d_levels, min_disparity):
+    """(words, s_blk, Wp) census word blocks -> (D, s_blk, Wp) cost block.
+
+    Incremental lane roll: the d-th plane's shifted right descriptor is the
+    (d-1)-th rolled one more lane, so each plane costs one roll + xor +
+    popcount instead of a fresh 119 MB XLA shift chain. Wrapped lanes
+    (x < d) and padded lanes (x >= W) are overwritten with INVALID, exactly
+    matching ``ops.cost_volume._invalid_mask`` semantics.
+    """
+    cl = cl_ref[:]
+    cr_roll = cr_ref[:]
+    if min_disparity:
+        cr_roll = pltpu.roll(cr_roll, min_disparity, axis=2)
+    shape = cl.shape[1:]
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    if out_ref.dtype == jnp.int16:
+        invalid = jnp.full(shape, 1024, jnp.int32)
+    else:
+        invalid = jnp.full(shape, 1e4, jnp.float32)
+    for i in range(d_levels):
+        d = min_disparity + i
+        if i:
+            cr_roll = pltpu.roll(cr_roll, 1, axis=2)
+        ham = jax.lax.population_count(jnp.bitwise_xor(cl, cr_roll))
+        ham = jnp.sum(ham, axis=0)
+        ham = jnp.where(col < d, invalid.astype(ham.dtype), ham)
+        out_ref[i] = ham.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
+                                             "dtype", "interpret"))
+def census_volume_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
+                         num_disparities: int, min_disparity: int = 0,
+                         dtype=jnp.int16,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Census-word images (words, H, W) -> (D, H, W) Hamming cost volume.
+
+    Pallas fast path of ``ops.cost_volume.census_cost_volume`` (bit-equal,
+    tested): one pass writing the volume, right descriptors rolled
+    incrementally in VMEM instead of 128 XLA strided-shift reads.
+    Requires ``min_disparity >= 0``.
+    """
+    if min_disparity < 0:
+        raise ValueError("census_volume_pallas needs min_disparity >= 0")
+    nw, H, W = cl.shape
+    s_blk = 8
+    wp = _cdiv(W, 128) * 128
+    n_sblocks = _cdiv(H, s_blk)
+    pad_s = n_sblocks * s_blk - H
+    if wp - W or pad_s:
+        pads = ((0, 0), (0, pad_s), (0, wp - W))
+        cl = jnp.pad(cl, pads)
+        cr = jnp.pad(cr, pads)
+    in_spec = pl.BlockSpec((nw, s_blk, wp), lambda s: (0, s, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((num_disparities, s_blk, wp), lambda s: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_census_vol_kernel, d_levels=num_disparities,
+                          min_disparity=min_disparity),
+        grid=(n_sblocks,),
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_disparities, cl.shape[1], wp),
+                                       jnp.dtype(dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(cl, cr)
+    return out[:, :H, :W]
+
+
+def _census_vol_T_kernel(clT_ref, crT_ref, out_ref, *, d_levels,
+                         min_disparity, w_blk, pad_rows):
+    """Transposed-layout builder: out (D, w_blk, Hp) for x-rows of clT.
+
+    The full right descriptor image (front-padded by ``pad_rows``) sits in
+    VMEM; plane d reads the (x - d) row window as one dynamic sublane
+    slice — building the (D, W, H) volume for the horizontal SGM scans
+    without ever transposing a volume in HBM.
+    """
+    x0 = pl.program_id(0) * w_blk
+    cl = clT_ref[:]
+    shape = cl.shape[1:]
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + x0
+    if out_ref.dtype == jnp.int16:
+        invalid = jnp.full(shape, 1024, jnp.int32)
+    else:
+        invalid = jnp.full(shape, 1e4, jnp.float32)
+    for i in range(d_levels):
+        d = min_disparity + i
+        # Mosaic needs sublane-dim slice starts provably 8-aligned. x0 is a
+        # multiple of w_blk (=8); (pad_rows - d) splits into a static
+        # aligned part 8*q plus a static residue r in [0, 8), so load an
+        # aligned 16-row window and take the static r..r+w_blk sub-slice.
+        q, r = divmod(pad_rows - d, 8)
+        base = pl.multiple_of(x0 + 8 * q, 8)
+        slab = crT_ref[:, pl.ds(base, 16), :][:, r:r + w_blk, :]
+        ham = jax.lax.population_count(jnp.bitwise_xor(cl, slab))
+        ham = jnp.sum(ham, axis=0)
+        ham = jnp.where(row < d, invalid.astype(ham.dtype), ham)
+        out_ref[i] = ham.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "min_disparity",
+                                             "dtype", "interpret"))
+def census_volume_T_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
+                           num_disparities: int, min_disparity: int = 0,
+                           dtype=jnp.int16,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Transposed census words (words, W, H) -> (D, W, H) cost volume.
+
+    Equals ``swapaxes(census_volume_pallas(...), 1, 2)`` (tested) at the
+    cost of re-running the cheap popcounts instead of a 238 MB volume
+    transpose; feeds the horizontal SGM pair directly.
+    """
+    if min_disparity < 0:
+        raise ValueError("census_volume_T_pallas needs min_disparity >= 0")
+    nw, W, H = clT.shape
+    w_blk = 8
+    hp = _cdiv(H, 128) * 128
+    n_blocks = _cdiv(W, w_blk)
+    pad_w = n_blocks * w_blk - W
+    pad_rows = num_disparities - 1 + min_disparity
+    clT = jnp.pad(clT, ((0, 0), (0, pad_w), (0, hp - H)))
+    # front-pad the right image so x - d never reads out of bounds (the
+    # pad content is masked to INVALID by the row < d test); round the
+    # resident buffer's sublane extent up to the i32 tile multiple
+    # +8 tail: the kernel reads aligned 16-row windows, which can overhang
+    # the last block's 8-row slice by up to 8 rows
+    tail = 8 + (-(pad_rows + W + pad_w) % 8)
+    crT = jnp.pad(crT, ((0, 0), (pad_rows, pad_w + tail), (0, hp - H)))
+    in_spec = pl.BlockSpec((nw, w_blk, hp), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((nw, crT.shape[1], hp), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((num_disparities, w_blk, hp), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_census_vol_T_kernel, d_levels=num_disparities,
+                          min_disparity=min_disparity, w_blk=w_blk,
+                          pad_rows=pad_rows),
+        grid=(n_blocks,),
+        in_specs=[in_spec, full_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_disparities, clT.shape[1], hp),
+                                       jnp.dtype(dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(clT, crT)
+    return out[:, :W, :H]
 
 
 # ----------------------------------------------------------------- WTA ----
@@ -320,11 +627,14 @@ def _right_wta_kernel(c_ref, idx_ref, *, w_true, d_levels):
     big = jnp.full(shape, 2 ** 28, jnp.int32)
     oob = col >= w_true                          # x beyond the true width
 
-    def body(i, carry):
-        acc, idx = carry
-        d = d_levels - 1 - i
-        slab = c_ref[pl.dslice(d, 1), :, :]
-        slab = _widen(slab.reshape(shape))
+    dt = jnp.int32 if c_ref.dtype in (jnp.int16, jnp.int32) else jnp.float32
+    acc = big.astype(dt)
+    idx = jnp.zeros(shape, jnp.int32)
+    # statically unrolled descent over d: static plane reads, and the
+    # accumulator advances by ONE lane roll per level (the anchored-shift
+    # trick, see docstring)
+    for d in range(d_levels - 1, -1, -1):
+        slab = _widen(c_ref[d])
         if slab.dtype != jnp.int32:              # float volumes: scale-free
             slab = slab.astype(jnp.float32)
         slab = jnp.where(oob, big.astype(slab.dtype), slab)
@@ -332,12 +642,8 @@ def _right_wta_kernel(c_ref, idx_ref, *, w_true, d_levels):
                            pltpu.roll(acc, wp - 1, axis=1))
         idx_sh = pltpu.roll(idx, wp - 1, axis=1)
         upd = slab <= acc_sh
-        return (jnp.where(upd, slab, acc_sh), jnp.where(upd, d, idx_sh))
-
-    dt = jnp.int32 if c_ref.dtype in (jnp.int16, jnp.int32) else jnp.float32
-    acc0 = big.astype(dt)
-    idx0 = jnp.zeros(shape, jnp.int32)
-    _, idx = jax.lax.fori_loop(0, d_levels, body, (acc0, idx0))
+        acc = jnp.where(upd, slab, acc_sh)
+        idx = jnp.where(upd, d, idx_sh)
     idx_ref[0] = idx
 
 
@@ -406,7 +712,7 @@ def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 512,
+def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 640,
                      interpret: bool = False):
     """(D, H, W) -> (best, idx, c0, c2, second) maps in one volume pass."""
     D, H, W = agg.shape

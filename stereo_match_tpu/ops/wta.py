@@ -161,13 +161,18 @@ def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
 def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
                            uniqueness_ratio: int = 15,
                            disp12_max_diff: int = 1,
-                           subpixel: bool = True) -> jnp.ndarray:
+                           subpixel: bool = True,
+                           stats=None) -> jnp.ndarray:
     """Pallas fast path of :func:`extract_disparity` (same semantics).
 
     One fused volume pass produces the per-pixel WTA statistics (best,
     argmin, neighbor costs, second-best outside ±1); a second kernel pass
     produces the right-view WTA for the LR check (no transposes/shears).
     The remaining math is (H, W)-sized. Tested equivalent to the XLA path.
+
+    ``stats`` accepts the ``(best, idx, c0, c2, second)`` tuple when the
+    aggregation already produced it (``sgm_aggregate_wta_pallas``), saving
+    the extra volume read here.
     """
     from stereo_match_tpu.ops.pallas_kernels import (right_wta_pallas,
                                                      wta_stats_pallas)
@@ -175,7 +180,8 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
     if agg.dtype not in (jnp.float32, jnp.int16):
         agg = agg.astype(jnp.float32)
     D = agg.shape[0]
-    best, idx, c0, c2, second = wta_stats_pallas(agg)
+    best, idx, c0, c2, second = stats if stats is not None \
+        else wta_stats_pallas(agg)
 
     if subpixel:
         c1 = best

@@ -57,8 +57,24 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     ``cost_fn`` overrides the cost family (e.g. an ``MCCNNCost`` provider);
     defaults to the classic dispatch on ``cfg.cost``.
     """
+    on_cpu = jax.default_backend() == "cpu"
+    vol_T = None
     if cost_fn is not None:
         vol = cost_fn(left_gray, right_gray)
+    elif not on_cpu and cfg.cost == "census" and cfg.min_disparity >= 0:
+        # Pallas fast path: build the volume in BOTH scan layouts straight
+        # from the census words — no XLA shift chain, no volume transpose
+        from stereo_match_tpu.ops.census import census_transform
+        from stereo_match_tpu.ops.pallas_kernels import (
+            census_volume_T_pallas, census_volume_pallas)
+        cl = jnp.moveaxis(census_transform(left_gray, cfg.census_window), -1, 0)
+        cr = jnp.moveaxis(census_transform(right_gray, cfg.census_window), -1, 0)
+        dt = jnp.dtype(cfg.dtype)
+        vol = census_volume_pallas(cl, cr, cfg.num_disparities,
+                                   cfg.min_disparity, dtype=dt)
+        vol_T = census_volume_T_pallas(
+            jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2),
+            cfg.num_disparities, cfg.min_disparity, dtype=dt)
     else:
         vol = build_cost_volume(
             left_gray, right_gray,
@@ -71,15 +87,17 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
                       uniqueness_ratio=cfg.uniqueness_ratio,
                       disp12_max_diff=cfg.disp12_max_diff,
                       subpixel=cfg.subpixel)
-    if jax.default_backend() == "cpu":
+    if on_cpu:
         agg = sgm_aggregate(vol, cfg.P1, cfg.P2, cfg.num_paths)
         disp = extract_disparity(agg, **extract_kw)
     else:
         # Pallas fast path on accelerators (identical semantics, tested)
-        from stereo_match_tpu.ops.pallas_kernels import sgm_aggregate_pallas
+        from stereo_match_tpu.ops.pallas_kernels import \
+            sgm_aggregate_wta_pallas
         from stereo_match_tpu.ops.wta import extract_disparity_fast
-        agg = sgm_aggregate_pallas(vol, cfg.P1, cfg.P2, cfg.num_paths)
-        disp = extract_disparity_fast(agg, **extract_kw)
+        agg, stats = sgm_aggregate_wta_pallas(vol, cfg.P1, cfg.P2,
+                                              cfg.num_paths, cost_T=vol_T)
+        disp = extract_disparity_fast(agg, stats=stats, **extract_kw)
     disp = speckle_filter(disp, cfg.speckle_window_size, cfg.speckle_range)
     if cfg.wls:
         filtered = wls_filter_disparity(

@@ -175,3 +175,51 @@ def test_extract_disparity_fast_int16(rng):
     with _interpret_wta_kernels():
         b = np.asarray(extract_disparity_fast(agg, 0, 15, 1, True))
     np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
+
+
+@pytest.mark.parametrize("min_d,window", [(0, (5, 5)), (3, (5, 5)),
+                                          (0, (7, 9))])
+def test_census_volume_pallas_bit_equal(rng, min_d, window):
+    """Pallas census builders == XLA census_cost_volume, both layouts."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.cost_volume import census_cost_volume
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_T_pallas, census_volume_pallas)
+    H, W, D = 29, 150, 24
+    left = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    right = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    ref = np.asarray(census_cost_volume(left, right, D, min_d, window,
+                                        dtype=jnp.int16))
+    cl = jnp.moveaxis(census_transform(left, window), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, window), -1, 0)
+    got = census_volume_pallas(cl, cr, D, min_d, interpret=True)
+    np.testing.assert_array_equal(ref, np.asarray(got))
+    gotT = census_volume_T_pallas(jnp.swapaxes(cl, 1, 2),
+                                  jnp.swapaxes(cr, 1, 2), D, min_d,
+                                  interpret=True)
+    np.testing.assert_array_equal(ref, np.swapaxes(np.asarray(gotT), 1, 2))
+
+
+def test_aggregate_with_cost_T(rng):
+    """sgm_aggregate_pallas(cost_T=...) == the transpose-internally path."""
+    vol = jnp.asarray(rng.uniform(0, 24, (16, 24, 40)).astype(np.float32))
+    base = sgm_aggregate_pallas(vol, 8.0, 96.0, 8, interpret=True)
+    via_t = sgm_aggregate_pallas(vol, 8.0, 96.0, 8,
+                                 cost_T=jnp.swapaxes(vol, 1, 2),
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(via_t))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int16])
+def test_aggregate_wta_fused_stats(rng, dtype):
+    """sgm_aggregate_wta_pallas == separate aggregate + wta_stats passes."""
+    from stereo_match_tpu.ops.pallas_kernels import (
+        sgm_aggregate_wta_pallas, wta_stats_pallas)
+    vol = rng.uniform(0, 24, (16, 24, 40)).astype(dtype)
+    vol = jnp.asarray(vol)
+    agg_ref = sgm_aggregate_pallas(vol, 8.0, 96.0, 8, interpret=True)
+    stats_ref = wta_stats_pallas(agg_ref, interpret=True)
+    agg, stats = sgm_aggregate_wta_pallas(vol, 8.0, 96.0, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(agg_ref), np.asarray(agg))
+    for a, b in zip(stats_ref, stats):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
