@@ -59,15 +59,17 @@ def headline() -> dict:
     from stereo_match_tpu.config import DisparityConfig
     from stereo_match_tpu.pipeline.stereo import _match_core
     left, right, _ = _scene()
+    # Production WTA settings (settings.ini: uniqueness 15, disp12 1);
+    # WLS/speckle measured separately in --all.
     cfg = DisparityConfig(num_disparities=D, cost="census",
-                          uniqueness_ratio=0, disp12_max_diff=1,
+                          uniqueness_ratio=15, disp12_max_diff=1,
                           wls=False, speckle_window_size=0)
     core = functools.partial(_match_core, cfg=cfg)
     fps = _stream_fps(lambda l, r: core(l, r)[0], left, right)
     return {
         "metric": "kitti_sgm_fps_per_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (1242x375, D=128, census+SGM8+WTA)",
+        "unit": "frames/s (1242x375, D=128, census+SGM8+WTA/uniq/LR)",
         "vs_baseline": round(fps / 30.0, 3),
     }
 
@@ -87,13 +89,17 @@ def all_configs() -> dict:
         out[name] = round(fps, 2)
         print(f"{name:32s} {fps:7.2f} fps", file=sys.stderr)
 
-    base = DisparityConfig(num_disparities=D, uniqueness_ratio=0,
+    base = DisparityConfig(num_disparities=D, uniqueness_ratio=15,
                            disp12_max_diff=1, speckle_window_size=0, wls=False)
     run("census_sgm8", base)
     run("sad_bm_wta", base.replace(cost="sad", num_paths=2, p1=1.0, p2=2.0))
     run("bt_sgm8", base.replace(cost="bt"))
     run("census_sgm8_wls", base.replace(wls=True, wls_iters=3,
                                         lmbda=8000.0, sigma=8.0))
+    # reference production settings.ini values (lmbda=80000 sigma=1.2,
+    # speckle off) and the device speckle filter cost at KITTI size
+    run("census_sgm8_wls_prod", base.replace(wls=True, wls_iters=3))
+    run("census_sgm8_speckle", base.replace(speckle_window_size=100))
 
     # MC-CNN learned cost feeding SGM (random-init weights: timing only)
     import jax.numpy as jnp

@@ -47,13 +47,30 @@ class DisparityConfig:
     wls: bool = True              # apply WLS refinement
     wls_iters: int = 3
     channels: int = 1             # cost channels used in P1/P2 derivation
-    dtype: str = "float32"        # accumulation dtype for the cost volume
+    dtype: str = "float32"        # cost-volume storage dtype (census only).
+    # int16 halves memory on the XLA/CPU path and is bit-exact; the TPU
+    # Pallas path always computes in f32 volumes regardless: the SGM stage
+    # is VPU-bound, not HBM-bound (238 MB/volume, ~3.3 GB/frame ~ 4 ms of
+    # HBM traffic vs the ~30 ms frame), and Mosaic's int16 scan kernels
+    # exceed the 16 MB scoped-VMEM stack budget at KITTI shape (measured
+    # 20.7-103 MB across kernel structures; see ops/pallas_kernels.py).
 
     def __post_init__(self) -> None:
         # SGBM contract: num_disparities is a positive multiple of 16.
         if self.num_disparities <= 0:
             raise ValueError("num_disparities must be > 0")
         self.num_disparities = -(-self.num_disparities // 16) * 16
+        if self.dtype == "int16" and self.cost == "census":
+            # int16 volumes must not wrap: each path total is bounded by
+            # INVALID_COST (1024) + P2, summed over num_paths. The fused
+            # stats are computed from widened int32 registers *before* the
+            # int16 store, so a wrapped store would silently disagree with
+            # the LR/right-WTA pass that re-reads the volume.
+            bound = self.num_paths * (1024 + self.P2)
+            if bound >= 2 ** 15:
+                raise ValueError(
+                    f"int16 cost volume would overflow: num_paths*(1024+P2)"
+                    f"={bound:.0f} >= 32768; lower p2 or set dtype='float32'")
 
     @property
     def P1(self) -> float:

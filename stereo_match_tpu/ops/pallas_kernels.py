@@ -18,6 +18,7 @@ property the shear trick relies on.
 from __future__ import annotations
 
 import functools
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,79 +30,153 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _fit_tile_n(requested: int, N: int, D: int, s_blk: int, itemsize: int,
+                n_bufs: int, n_scratch: int,
+                budget: int = 13 * 2 ** 20) -> int:
+    """Largest multiple-of-128 tile_n <= requested that fits scoped VMEM.
+
+    Footprint model: ``n_bufs`` double-buffered (D, s_blk, tile_n) blocks
+    plus ``n_scratch`` (D, tile_n) carry scratches, plus — for int16
+    storage — one block-sized f32 stack copy per stream (the kernels widen
+    whole blocks to f32 values, see ``_widen``/``_sgm_scan_kernel``). The
+    remainder of the 16 MB scoped-VMEM limit is headroom for loop
+    temporaries. Hardware calibration: 6 f32 buffers at tile_n=512
+    (12.8 MB) compile and hit 33 fps; the f32 fused-stats variant at the
+    same tile OOMed at 22.5 MB; int16 scan3-accum compiles at tile 256 and
+    OOMs at 384.
+    """
+    per_128 = (n_bufs * 2 * D * s_blk + n_scratch * D) * 128 * itemsize
+    if itemsize == 2:
+        per_128 += n_bufs * D * s_blk * 128 * 4
+    cap = max(budget // per_128, 1) * 128
+    if itemsize == 2:
+        # int16 block-widen kernels spill far more than the model captures
+        # and reuse stack slots inconsistently between variants (measured:
+        # scan3-accum compiles at tile 256; init-scan OOMs at 256 with a
+        # 20.7 MB stack). Empirical caps per variant:
+        cap = min(cap, 256 if n_bufs >= 3 else 128)
+    return max(128, min(requested, cap, _cdiv(N, 128) * 128))
+
+
 def _big_for(dtype):
     """Sentinel larger than any reachable path cost for the dtype."""
     return 2 ** 28 if jnp.issubdtype(dtype, jnp.integer) else 1e9
 
 
 def _widen(x):
-    """int16 memory -> int32 registers (Mosaic has no int16 min/reduce);
-    floats pass through."""
-    return x.astype(jnp.int32) if x.dtype == jnp.int16 else x
+    """int16 memory -> float32 registers; floats/ints pass through.
+
+    Mosaic has no int16 min/reduce, so int16 volumes must widen in
+    registers. float32 (not int32) because (a) it is exact for the bounded
+    SGM totals (config validates num_paths*(1024+P2) < 2^15 << 2^24) and
+    (b) the unrolled scan kernels' int32 register chains defeat Mosaic's
+    stack-slot reuse — the int16 scan3 allocated 103 MB of scoped-VMEM
+    stack at KITTI shape while the equivalent f32 chain fits comfortably.
+    """
+    return x.astype(jnp.float32) if x.dtype == jnp.int16 else x
 
 
 def _sgm_step(c, carry, p1, p2):
-    """The SGM recurrence on one (D, TILE_N) register slab (f32 or i32)."""
+    """The SGM recurrence on one (D, TILE_N) register slab (f32 or i32).
+
+    The d±1 neighbor reads are sublane rolls + edge masks (not concats:
+    Mosaic cannot lower shift-concats between operands whose layouts carry
+    different minor offsets — see ``_sgm_step3``).
+    """
     dt = carry.dtype
     big = jnp.asarray(_big_for(dt), dt)
     p1 = jnp.asarray(p1, dt)
     p2 = jnp.asarray(p2, dt)
+    D = carry.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, carry.shape, 0)
     pmin = jnp.min(carry, axis=0, keepdims=True)                 # (1, TILE_N)
-    up = jnp.concatenate([jnp.full_like(carry[:1], big), carry[:-1]], axis=0)
-    dn = jnp.concatenate([carry[1:], jnp.full_like(carry[:1], big)], axis=0)
+    up = jnp.where(row == 0, big, pltpu.roll(carry, 1, axis=0))
+    dn = jnp.where(row == D - 1, big, pltpu.roll(carry, D - 1, axis=0))
     m = jnp.minimum(jnp.minimum(carry, pmin + p2), jnp.minimum(up, dn) + p1)
     return c + m - pmin
 
 
-def _sgm_scan_kernel_init(c_ref, out_ref, carry_ref, *, p1, p2, s_blk, reverse):
-    """First direction: out = L (no accumulator read).
+def _sgm_scan_kernel(*refs, p1, p2, s_blk, reverse, has_acc, has_init,
+                     has_cout, last_s):
+    """Unified single-direction scan kernel.
 
     Each grid step advances the recurrence through ``s_blk`` rows of the
     block (unrolled; the carry stays in int32/f32 registers between
     sub-rows and round-trips through the scratch in the storage dtype).
+    Optional refs (keyword-selected): ``acc`` adds a running total (aliased
+    in-place), ``init`` seeds the carry at the first step (cross-shard
+    chaining, parallel/tiling.py), ``cout`` emits the final carry.
     """
+    it = iter(refs)
+    c_ref = next(it)
+    acc_ref = next(it) if has_acc else None
+    init_ref = next(it) if has_init else None
+    out_ref = next(it)
+    cout_ref = next(it) if has_cout else None
+    carry_ref = next(it)
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
+        carry_ref[:] = init_ref[:] if has_init else jnp.zeros_like(carry_ref)
+
+    # int16 blocks: widen ONCE and store ONCE at block granularity. Per-row
+    # int16 loads/stores carry sub-word sublane offsets that defeat
+    # Mosaic's stack-slot reuse (measured 103 MB scoped stack at KITTI
+    # shape vs a comfortable fit for the identical f32 kernel).
+    blockwise = c_ref.dtype == jnp.int16
+    cf = _widen(c_ref[:]) if blockwise else None
+    af = _widen(acc_ref[:]) if (blockwise and has_acc) else None
     carry = _widen(carry_ref[:])
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    outs = {}
     for k in rows:
-        carry = _sgm_step(_widen(c_ref[:, k, :]), carry, p1, p2)
-        out_ref[:, k, :] = carry.astype(out_ref.dtype)
+        c_k = cf[:, k, :] if blockwise else _widen(c_ref[:, k, :])
+        carry = _sgm_step(c_k, carry, p1, p2)
+        if blockwise:
+            outs[k] = (af[:, k, :] + carry) if has_acc else carry
+        elif has_acc:
+            out_ref[:, k, :] = acc_ref[:, k, :] + carry.astype(out_ref.dtype)
+        else:
+            out_ref[:, k, :] = carry.astype(out_ref.dtype)
+    if blockwise:
+        out_ref[:] = jnp.stack([outs[k] for k in range(s_blk)],
+                               axis=1).astype(out_ref.dtype)
     carry_ref[:] = carry.astype(carry_ref.dtype)
-
-
-def _sgm_scan_kernel_accum(c_ref, acc_ref, out_ref, carry_ref, *, p1, p2,
-                           s_blk, reverse):
-    """Subsequent directions: out = acc + L (acc aliased in-place)."""
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-    carry = _widen(carry_ref[:])
-    rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
-    for k in rows:
-        carry = _sgm_step(_widen(c_ref[:, k, :]), carry, p1, p2)
-        out_ref[:, k, :] = acc_ref[:, k, :] + carry.astype(out_ref.dtype)
-    carry_ref[:] = carry.astype(carry_ref.dtype)
+    if has_cout:
+        @pl.when(pl.program_id(1) == last_s)
+        def _():
+            cout_ref[:] = carry.astype(cout_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("p1", "p2", "reverse", "tile_n",
-                                    "interpret"))
+                                    "return_carry", "interpret"))
 def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
                     p1: float, p2: float, reverse: bool = False,
                     tile_n: int = 640,
-                    interpret: bool = False) -> jnp.ndarray:
+                    init_carry: jnp.ndarray | None = None,
+                    return_carry: bool = False,
+                    interpret: bool = False):
     """Scan along axis 1 of (D, S, N), adding into ``accum`` (aliased).
 
     ``reverse`` scans bottom-up (the S index map flips — no data movement).
     ``accum=None`` initializes the total (out = L, no accumulator read).
+    ``init_carry`` (D, N) seeds the recurrence's incoming state (the carry
+    of the scan-order-previous row shard); ``return_carry`` additionally
+    returns the (D, N) carry after the final row — together these chain the
+    scan across row shards bit-exactly (``parallel/tiling.py``).
+    ``return_carry`` requires S to be a multiple of the sublane block (8
+    f32 / 16 int16): zero-padded tail rows preserve a *zero* carry but
+    corrupt a non-trivial one.
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16   # sublane tile per dtype
-    if cost.dtype.itemsize == 4:
-        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
-    tile_n = min(tile_n, _cdiv(N, 128) * 128)
+    if return_carry and S % s_blk:
+        raise ValueError(f"return_carry needs S % {s_blk} == 0, got S={S}")
+    tile_n = _fit_tile_n(tile_n, N, D, s_blk, cost.dtype.itemsize,
+                         n_bufs=2 if accum is None else 3,
+                         n_scratch=1 + (init_carry is not None)
+                         + 2 * return_carry)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
     n_sblocks = _cdiv(S, s_blk)
@@ -114,30 +189,50 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
         cost = jnp.pad(cost, pads)
         if accum is not None:
             accum = jnp.pad(accum, pads)
+        if init_carry is not None and pad_n:
+            init_carry = jnp.pad(init_carry, ((0, 0), (0, pad_n)))
 
     def idx(n, s):
         return (0, (n_sblocks - 1 - s) if reverse else s, n)
 
     spec = pl.BlockSpec((D, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
-    params = dict(
+    carry_spec = pl.BlockSpec((D, tile_n), lambda n, s: (0, n),
+                              memory_space=pltpu.VMEM)
+    operands = [cost]
+    in_specs = [spec]
+    aliases = {}
+    if accum is not None:
+        operands.append(accum)
+        in_specs.append(spec)
+        aliases = {1: 0}
+    if init_carry is not None:
+        operands.append(init_carry.astype(cost.dtype))
+        in_specs.append(carry_spec)
+    out_specs: Any = spec
+    out_shape: Any = jax.ShapeDtypeStruct(cost.shape, cost.dtype)
+    if return_carry:
+        out_specs = (spec, carry_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((D, cost.shape[2]), cost.dtype))
+    out = pl.pallas_call(
+        functools.partial(_sgm_scan_kernel, p1=float(p1), p2=float(p2),
+                          s_blk=s_blk, reverse=reverse,
+                          has_acc=accum is not None,
+                          has_init=init_carry is not None,
+                          has_cout=return_carry, last_s=n_sblocks - 1),
         grid=(n_tiles, n_sblocks),
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(cost.shape, cost.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )
-    kparams = dict(p1=float(p1), p2=float(p2), s_blk=s_blk, reverse=reverse)
-    if accum is None:
-        out = pl.pallas_call(
-            functools.partial(_sgm_scan_kernel_init, **kparams),
-            in_specs=[spec], **params)(cost)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_sgm_scan_kernel_accum, **kparams),
-            in_specs=[spec, spec], input_output_aliases={1: 0},
-            **params)(cost, accum)
+    )(*operands)
+    if return_carry:
+        vol, cout = out
+        return vol[:, :S, :N], cout[:, :N]
     if pad_n or pad_s:
         out = out[:, :S, :N]
     return out
@@ -152,58 +247,83 @@ def _sgm_step3(c, cs, cse, csw, p1, p2):
     same trick makes W-tile boundaries behave as frame edges for the
     diagonal paths — see ``sgm_aggregate_pallas(exact_diagonals=...)``.
     """
-    if jnp.issubdtype(cs.dtype, jnp.integer):
-        # Mosaic can't lower the i32 lane-shift concat ("offset mismatch on
-        # non-concat dimension"); roll + edge mask compiles for any dtype.
-        n = cse.shape[1]
-        col = jax.lax.broadcasted_iota(jnp.int32, cse.shape, 1)
-        zero = jnp.zeros((), cse.dtype)
-        cse_sh = jnp.where(col == 0, zero, pltpu.roll(cse, 1, axis=1))
-        csw_sh = jnp.where(col == n - 1, zero, pltpu.roll(csw, n - 1, axis=1))
-    else:
-        zero_col = jnp.zeros_like(cs[:, :1])
-        cse_sh = jnp.concatenate([zero_col, cse[:, :-1]], axis=1)
-        csw_sh = jnp.concatenate([csw[:, 1:], zero_col], axis=1)
+    # Lane shifts via roll + edge mask, never concatenate: Mosaic cannot
+    # lower the lane-shift concat whenever an operand's layout carries a
+    # sublane offset ("offset mismatch on non-concat dimension") — i32
+    # carries hit this in round 1, and f32 carries widened from int16
+    # blocks (odd-row loads) hit it on hardware too.
+    n = cse.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, cse.shape, 1)
+    zero = jnp.zeros((), cse.dtype)
+    cse_sh = jnp.where(col == 0, zero, pltpu.roll(cse, 1, axis=1))
+    csw_sh = jnp.where(col == n - 1, zero, pltpu.roll(csw, n - 1, axis=1))
     Ls = _sgm_step(c, cs, p1, p2)
     Lse = _sgm_step(c, cse_sh, p1, p2)
     Lsw = _sgm_step(c, csw_sh, p1, p2)
     return Ls, Lse, Lsw
 
 
-def _sgm_scan3_kernel_init(c_ref, out_ref, cs_ref, cse_ref, csw_ref,
-                           *, p1, p2, s_blk, reverse):
+def _sgm_scan3_kernel(*refs, p1, p2, s_blk, reverse, has_acc, has_init,
+                      has_cout, last_s):
+    """Unified fused 3-direction (S/SE/SW or, reversed, N/NE/NW) kernel.
+
+    Optional refs as in ``_sgm_scan_kernel``; the carry init/out slabs are
+    (3, D, TILE_N) — vertical, SE, SW — in the *unshifted* representation
+    (the lane shift belongs to the consuming row's step), so chaining them
+    across row shards reproduces the single-chip kernel bit-exactly at
+    matching tile_n (``parallel/tiling.py``).
+    """
+    it = iter(refs)
+    c_ref = next(it)
+    acc_ref = next(it) if has_acc else None
+    init_ref = next(it) if has_init else None
+    out_ref = next(it)
+    cout_ref = next(it) if has_cout else None
+    cs_ref = next(it)
+    cse_ref = next(it)
+    csw_ref = next(it)
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        cs_ref[:] = jnp.zeros_like(cs_ref)
-        cse_ref[:] = jnp.zeros_like(cse_ref)
-        csw_ref[:] = jnp.zeros_like(csw_ref)
+        if has_init:
+            cs_ref[:] = init_ref[0]
+            cse_ref[:] = init_ref[1]
+            csw_ref[:] = init_ref[2]
+        else:
+            cs_ref[:] = jnp.zeros_like(cs_ref)
+            cse_ref[:] = jnp.zeros_like(cse_ref)
+            csw_ref[:] = jnp.zeros_like(csw_ref)
+    # int16: block-granular widen/store (see _sgm_scan_kernel)
+    blockwise = c_ref.dtype == jnp.int16
+    cf = _widen(c_ref[:]) if blockwise else None
+    af = _widen(acc_ref[:]) if (blockwise and has_acc) else None
     cs, cse, csw = (_widen(cs_ref[:]), _widen(cse_ref[:]),
                     _widen(csw_ref[:]))
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
+    outs = {}
     for k in rows:
-        cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
-        out_ref[:, k, :] = (cs + cse + csw).astype(out_ref.dtype)
+        c_k = cf[:, k, :] if blockwise else _widen(c_ref[:, k, :])
+        cs, cse, csw = _sgm_step3(c_k, cs, cse, csw, p1, p2)
+        if blockwise:
+            outs[k] = (af[:, k, :] if has_acc else 0) + (cs + cse + csw)
+        else:
+            tot = (cs + cse + csw).astype(out_ref.dtype)
+            if has_acc:
+                out_ref[:, k, :] = acc_ref[:, k, :] + tot
+            else:
+                out_ref[:, k, :] = tot
+    if blockwise:
+        out_ref[:] = jnp.stack([outs[k] for k in range(s_blk)],
+                               axis=1).astype(out_ref.dtype)
     cs_ref[:] = cs.astype(cs_ref.dtype)
     cse_ref[:] = cse.astype(cse_ref.dtype)
     csw_ref[:] = csw.astype(csw_ref.dtype)
-
-
-def _sgm_scan3_kernel_accum(c_ref, acc_ref, out_ref, cs_ref, cse_ref, csw_ref,
-                            *, p1, p2, s_blk, reverse):
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        cs_ref[:] = jnp.zeros_like(cs_ref)
-        cse_ref[:] = jnp.zeros_like(cse_ref)
-        csw_ref[:] = jnp.zeros_like(csw_ref)
-    cs, cse, csw = (_widen(cs_ref[:]), _widen(cse_ref[:]),
-                    _widen(csw_ref[:]))
-    rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
-    for k in rows:
-        cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
-        out_ref[:, k, :] = acc_ref[:, k, :] + (cs + cse + csw).astype(out_ref.dtype)
-    cs_ref[:] = cs.astype(cs_ref.dtype)
-    cse_ref[:] = cse.astype(cse_ref.dtype)
-    csw_ref[:] = csw.astype(csw_ref.dtype)
+    if has_cout:
+        @pl.when(pl.program_id(1) == last_s)
+        def _():
+            cout_ref[0] = cs.astype(cout_ref.dtype)
+            cout_ref[1] = cse.astype(cout_ref.dtype)
+            cout_ref[2] = csw.astype(cout_ref.dtype)
 
 
 def _wta_stats_rows(tot, d_iota):
@@ -246,7 +366,17 @@ def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
                     _widen(csw_ref[:]))
     rows = range(s_blk - 1, -1, -1) if reverse else range(s_blk)
     d_iota = None
-    stats = [None] * s_blk
+    # Stats accumulate into (s_blk, tile_n) registers via a row-select so
+    # each loop iteration's temporaries die immediately (an end-of-block
+    # jnp.stack kept 5*s_blk values live and blew the VMEM stack budget
+    # on hardware — BENCH_r01 OOM).
+    tile = (s_blk,) + c_ref.shape[2:]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, tile, 0)
+    best_a = jnp.zeros(tile, jnp.float32)
+    idx_a = jnp.zeros(tile, jnp.int32)
+    c0_a = jnp.zeros(tile, jnp.float32)
+    c2_a = jnp.zeros(tile, jnp.float32)
+    second_a = jnp.zeros(tile, jnp.float32)
     for k in rows:
         cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
         tot = _widen(acc_ref[:, k, :]) + (cs + cse + csw)
@@ -254,13 +384,21 @@ def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
         totf = tot.astype(jnp.float32)
         if d_iota is None:
             d_iota = jax.lax.broadcasted_iota(jnp.int32, totf.shape, 0)
-        stats[k] = _wta_stats_rows(totf, d_iota)
+        best, idx, c0, c2, second = _wta_stats_rows(totf, d_iota)
+        at_k = row_iota == k
+        best_a = jnp.where(at_k, best[None], best_a)
+        idx_a = jnp.where(at_k, idx[None], idx_a)
+        c0_a = jnp.where(at_k, c0[None], c0_a)
+        c2_a = jnp.where(at_k, c2[None], c2_a)
+        second_a = jnp.where(at_k, second[None], second_a)
     cs_ref[:] = cs.astype(cs_ref.dtype)
     cse_ref[:] = cse.astype(cse_ref.dtype)
     csw_ref[:] = csw.astype(csw_ref.dtype)
-    for ref, j in ((best_ref, 0), (idx_ref, 1), (c0_ref, 2), (c2_ref, 3),
-                   (second_ref, 4)):
-        ref[0] = jnp.stack([stats[k][j] for k in range(s_blk)], axis=0)
+    best_ref[0] = best_a
+    idx_ref[0] = idx_a
+    c0_ref[0] = c0_a
+    c2_ref[0] = c2_a
+    second_ref[0] = second_a
 
 
 @functools.partial(jax.jit,
@@ -277,9 +415,10 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16
-    if cost.dtype.itemsize == 4:
-        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
-    tile_n = min(tile_n, _cdiv(N, 128) * 128)
+    # Tighter budget than the plain scans: the 8-row stats reduction needs
+    # substantial stack headroom (22.5 MB at tile 512 on hardware).
+    tile_n = _fit_tile_n(tile_n, N, D, s_blk, cost.dtype.itemsize,
+                         n_bufs=3, n_scratch=3, budget=8 * 2 ** 20)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
     n_sblocks = _cdiv(S, s_blk)
@@ -323,23 +462,34 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("p1", "p2", "reverse", "tile_n",
-                                    "interpret"))
+                                    "return_carry", "interpret"))
 def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
                      p1: float, p2: float, reverse: bool = False,
                      tile_n: int = 640,
-                     interpret: bool = False) -> jnp.ndarray:
+                     init_carry: jnp.ndarray | None = None,
+                     return_carry: bool = False,
+                     interpret: bool = False):
     """Fused S+SE+SW (or, reversed, N+NE+NW) scan over (D, S, N).
 
     One volume pass computes three path directions; diagonal carries are
     lane-shifted vertical carries. W-tile boundaries reset the diagonal
     carries (frame-edge semantics); use ``tile_n >= N`` for boundary-free
     results when VMEM allows.
+
+    ``init_carry``/``return_carry`` move the (3, D, N) carry slab —
+    vertical, SE, SW, unshifted — in/out of the scan, chaining it across
+    row shards bit-exactly (including both diagonals: the per-row lane
+    shift happens inside the consuming step, so the slab needs no
+    re-anchoring). ``return_carry`` requires S % s_blk == 0.
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16
-    if cost.dtype.itemsize == 4:
-        tile_n = min(tile_n, 512)   # 2 double-buffered f32 inputs: VMEM cap
-    tile_n = min(tile_n, _cdiv(N, 128) * 128)
+    if return_carry and S % s_blk:
+        raise ValueError(f"return_carry needs S % {s_blk} == 0, got S={S}")
+    tile_n = _fit_tile_n(tile_n, N, D, s_blk, cost.dtype.itemsize,
+                         n_bufs=2 if accum is None else 3,
+                         n_scratch=3 + 3 * (init_carry is not None)
+                         + 6 * return_carry)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
     n_sblocks = _cdiv(S, s_blk)
@@ -349,30 +499,50 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
         cost = jnp.pad(cost, pads)
         if accum is not None:
             accum = jnp.pad(accum, pads)
+        if init_carry is not None and pad_n:
+            init_carry = jnp.pad(init_carry, ((0, 0), (0, 0), (0, pad_n)))
 
     def idx(n, s):
         return (0, (n_sblocks - 1 - s) if reverse else s, n)
 
     spec = pl.BlockSpec((D, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
-    params = dict(
+    carry_spec = pl.BlockSpec((3, D, tile_n), lambda n, s: (0, 0, n),
+                              memory_space=pltpu.VMEM)
+    operands = [cost]
+    in_specs = [spec]
+    aliases = {}
+    if accum is not None:
+        operands.append(accum)
+        in_specs.append(spec)
+        aliases = {1: 0}
+    if init_carry is not None:
+        operands.append(init_carry.astype(cost.dtype))
+        in_specs.append(carry_spec)
+    out_specs: Any = spec
+    out_shape: Any = jax.ShapeDtypeStruct(cost.shape, cost.dtype)
+    if return_carry:
+        out_specs = (spec, carry_spec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((3, D, cost.shape[2]), cost.dtype))
+    out = pl.pallas_call(
+        functools.partial(_sgm_scan3_kernel, p1=float(p1), p2=float(p2),
+                          s_blk=s_blk, reverse=reverse,
+                          has_acc=accum is not None,
+                          has_init=init_carry is not None,
+                          has_cout=return_carry, last_s=n_sblocks - 1),
         grid=(n_tiles, n_sblocks),
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(cost.shape, cost.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )
-    kparams = dict(p1=float(p1), p2=float(p2), s_blk=s_blk, reverse=reverse)
-    if accum is None:
-        out = pl.pallas_call(
-            functools.partial(_sgm_scan3_kernel_init, **kparams),
-            in_specs=[spec], **params)(cost)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_sgm_scan3_kernel_accum, **kparams),
-            in_specs=[spec, spec], input_output_aliases={1: 0},
-            **params)(cost, accum)
+    )(*operands)
+    if return_carry:
+        vol, cout = out
+        return vol[:, :S, :N], cout[:, :, :N]
     if pad_n or pad_s:
         out = out[:, :S, :N]
     return out
@@ -435,13 +605,16 @@ def sgm_aggregate_wta_pallas(cost: jnp.ndarray, p1: float, p2: float,
     ``(sgm_aggregate_pallas(...), wta_stats_pallas(total))`` (tested
     equal) but with one fewer full-volume HBM read for the 8-path case.
     """
-    if num_paths != 8:
-        total = sgm_aggregate_pallas(cost, p1, p2, num_paths, cost_T=cost_T,
-                                     interpret=interpret)
-        return total, wta_stats_pallas(total, interpret=interpret)
     cost = jnp.asarray(cost)
     if cost.dtype not in (jnp.float32, jnp.int16):
         cost = cost.astype(jnp.float32)
+    # int16: the fused-stats reverse pass does not fit the hardware stack
+    # budget at any tile (the 16-row widen + stats reduction chain); the
+    # separate wta_stats pass costs one extra *half-width* volume read.
+    if num_paths != 8 or cost.dtype == jnp.int16:
+        total = sgm_aggregate_pallas(cost, p1, p2, num_paths, cost_T=cost_T,
+                                     interpret=interpret)
+        return total, wta_stats_pallas(total, interpret=interpret)
     kw = dict(p1=p1, p2=p2, interpret=interpret)
     volT = jnp.swapaxes(cost, 1, 2) if cost_T is None else cost_T
     tot_T = sgm_scan_pallas(volT, None, reverse=False, **kw)
@@ -499,7 +672,9 @@ def census_volume_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
     if min_disparity < 0:
         raise ValueError("census_volume_pallas needs min_disparity >= 0")
     nw, H, W = cl.shape
-    s_blk = 8
+    # sublane block must be a whole tile of the *output* dtype: int16 tiles
+    # are (16, 128), so 8-row int16 blocks would be tile-misaligned
+    s_blk = 16 if jnp.dtype(dtype).itemsize == 2 else 8
     wp = _cdiv(W, 128) * 128
     n_sblocks = _cdiv(H, s_blk)
     pad_s = n_sblocks * s_blk - H
@@ -546,12 +721,12 @@ def _census_vol_T_kernel(clT_ref, crT_ref, out_ref, *, d_levels,
     for i in range(d_levels):
         d = min_disparity + i
         # Mosaic needs sublane-dim slice starts provably 8-aligned. x0 is a
-        # multiple of w_blk (=8); (pad_rows - d) splits into a static
+        # multiple of w_blk (8 or 16); (pad_rows - d) splits into a static
         # aligned part 8*q plus a static residue r in [0, 8), so load an
-        # aligned 16-row window and take the static r..r+w_blk sub-slice.
+        # aligned (w_blk+8)-row window and take the static r..r+w_blk slice.
         q, r = divmod(pad_rows - d, 8)
         base = pl.multiple_of(x0 + 8 * q, 8)
-        slab = crT_ref[:, pl.ds(base, 16), :][:, r:r + w_blk, :]
+        slab = crT_ref[:, pl.ds(base, w_blk + 8), :][:, r:r + w_blk, :]
         ham = jax.lax.population_count(jnp.bitwise_xor(cl, slab))
         ham = jnp.sum(ham, axis=0)
         ham = jnp.where(row < d, invalid.astype(ham.dtype), ham)
@@ -573,7 +748,9 @@ def census_volume_T_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
     if min_disparity < 0:
         raise ValueError("census_volume_T_pallas needs min_disparity >= 0")
     nw, W, H = clT.shape
-    w_blk = 8
+    # int16 output tiles are (16, 128): use 16-row W blocks (see the
+    # non-transposed builder); the aligned-window read below widens with it
+    w_blk = 16 if jnp.dtype(dtype).itemsize == 2 else 8
     hp = _cdiv(H, 128) * 128
     n_blocks = _cdiv(W, w_blk)
     pad_w = n_blocks * w_blk - W
@@ -582,8 +759,8 @@ def census_volume_T_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
     # front-pad the right image so x - d never reads out of bounds (the
     # pad content is masked to INVALID by the row < d test); round the
     # resident buffer's sublane extent up to the i32 tile multiple
-    # +8 tail: the kernel reads aligned 16-row windows, which can overhang
-    # the last block's 8-row slice by up to 8 rows
+    # +8 tail: the kernel reads aligned (w_blk+8)-row windows, which can
+    # overhang the last block's w_blk-row slice by up to 8 rows
     tail = 8 + (-(pad_rows + W + pad_w) % 8)
     crT = jnp.pad(crT, ((0, 0), (pad_rows, pad_w + tail), (0, hp - H)))
     in_spec = pl.BlockSpec((nw, w_blk, hp), lambda i: (0, i, 0),
@@ -627,14 +804,11 @@ def _right_wta_kernel(c_ref, idx_ref, *, w_true, d_levels):
     big = jnp.full(shape, 2 ** 28, jnp.int32)
     oob = col >= w_true                          # x beyond the true width
 
-    dt = jnp.int32 if c_ref.dtype in (jnp.int16, jnp.int32) else jnp.float32
-    acc = big.astype(dt)
-    idx = jnp.zeros(shape, jnp.int32)
-    # statically unrolled descent over d: static plane reads, and the
-    # accumulator advances by ONE lane roll per level (the anchored-shift
-    # trick, see docstring)
-    for d in range(d_levels - 1, -1, -1):
-        slab = _widen(c_ref[d])
+    def body(i, carry):
+        acc, idx = carry
+        d = d_levels - 1 - i
+        slab = c_ref[pl.dslice(d, 1), :, :]
+        slab = _widen(slab.reshape(shape))
         if slab.dtype != jnp.int32:              # float volumes: scale-free
             slab = slab.astype(jnp.float32)
         slab = jnp.where(oob, big.astype(slab.dtype), slab)
@@ -642,8 +816,14 @@ def _right_wta_kernel(c_ref, idx_ref, *, w_true, d_levels):
                            pltpu.roll(acc, wp - 1, axis=1))
         idx_sh = pltpu.roll(idx, wp - 1, axis=1)
         upd = slab <= acc_sh
-        acc = jnp.where(upd, slab, acc_sh)
-        idx = jnp.where(upd, d, idx_sh)
+        return (jnp.where(upd, slab, acc_sh), jnp.where(upd, d, idx_sh))
+
+    # int16 volumes widen to f32 registers (see _widen); only a true int32
+    # volume keeps integer accumulation
+    dt = jnp.int32 if c_ref.dtype == jnp.int32 else jnp.float32
+    acc0 = big.astype(dt)
+    idx0 = jnp.zeros(shape, jnp.int32)
+    _, idx = jax.lax.fori_loop(0, d_levels, body, (acc0, idx0))
     idx_ref[0] = idx
 
 
@@ -656,7 +836,7 @@ def right_wta_pallas(agg: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     shear copies.
     """
     D, H, W = agg.shape
-    s_blk = 8
+    s_blk = 16 if agg.dtype.itemsize == 2 else 8   # whole input-dtype tiles
     wp = _cdiv(W, 128) * 128
     n_sblocks = _cdiv(H, s_blk)
     pad_s = n_sblocks * s_blk - H
@@ -681,7 +861,8 @@ def right_wta_pallas(agg: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 
 
 
-def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref):
+def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref,
+                      *, s_blk):
     """One volume read -> per-pixel WTA statistics.
 
     For each pixel of the (D, S_BLK, TILE_N) block: the winning cost and
@@ -689,26 +870,42 @@ def _wta_stats_kernel(agg_ref, best_ref, idx_ref, c0_ref, c2_ref, second_ref):
     cost outside the winner's ±1 neighborhood (uniqueness test input).
     All are D-axis reductions on VPU registers — the whole WTA stage then
     needs a single pass over the volume.
+
+    f32 blocks reduce the whole rank-3 block at once; int16 blocks widen
+    once and loop rows with 2-D temporaries (rank-3 masks over a widened
+    int16 block overflow the hardware stack budget).
     """
-    c = agg_ref[:].astype(jnp.float32)          # (D, S_BLK, TILE_N)
-    D = c.shape[0]
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
-    big = jnp.float32(3e9)
-    best = jnp.min(c, axis=0)
-    # argmin with first-occurrence ties: smallest d where c == best
-    idx = jnp.min(jnp.where(c == best[None], d_iota, D), axis=0)
-    idx = idx.astype(jnp.int32)
-    is_m1 = d_iota == (idx - 1)[None]
-    is_p1 = d_iota == (idx + 1)[None]
-    near = jnp.abs(d_iota - idx[None]) <= 1
-    c0 = jnp.min(jnp.where(is_m1, c, big), axis=0)
-    c2 = jnp.min(jnp.where(is_p1, c, big), axis=0)
-    second = jnp.min(jnp.where(near, big, c), axis=0)
-    best_ref[0] = best
-    idx_ref[0] = idx
-    c0_ref[0] = c0
-    c2_ref[0] = c2
-    second_ref[0] = second
+    if agg_ref.dtype != jnp.int16:
+        c = agg_ref[:].astype(jnp.float32)      # (D, S_BLK, TILE_N)
+        D = c.shape[0]
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+        big = jnp.float32(3e9)
+        best = jnp.min(c, axis=0)
+        # argmin with first-occurrence ties: smallest d where c == best
+        idx = jnp.min(jnp.where(c == best[None], d_iota, D), axis=0)
+        idx = idx.astype(jnp.int32)
+        is_m1 = d_iota == (idx - 1)[None]
+        is_p1 = d_iota == (idx + 1)[None]
+        near = jnp.abs(d_iota - idx[None]) <= 1
+        c0 = jnp.min(jnp.where(is_m1, c, big), axis=0)
+        c2 = jnp.min(jnp.where(is_p1, c, big), axis=0)
+        second = jnp.min(jnp.where(near, big, c), axis=0)
+        best_ref[0] = best
+        idx_ref[0] = idx
+        c0_ref[0] = c0
+        c2_ref[0] = c2
+        second_ref[0] = second
+        return
+    cf = _widen(agg_ref[:])                     # one block-granular widen
+    d_iota = None
+    rows = {}
+    for k in range(s_blk):
+        if d_iota is None:
+            d_iota = jax.lax.broadcasted_iota(jnp.int32, cf[:, k, :].shape, 0)
+        rows[k] = _wta_stats_rows(cf[:, k, :], d_iota)
+    for ref, j in ((best_ref, 0), (idx_ref, 1), (c0_ref, 2), (c2_ref, 3),
+                   (second_ref, 4)):
+        ref[0] = jnp.stack([rows[k][j] for k in range(s_blk)], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
@@ -716,7 +913,9 @@ def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 640,
                      interpret: bool = False):
     """(D, H, W) -> (best, idx, c0, c2, second) maps in one volume pass."""
     D, H, W = agg.shape
-    s_blk = 8
+    s_blk = 16 if agg.dtype.itemsize == 2 else 8   # whole input-dtype tiles
+    if agg.dtype.itemsize == 2:
+        tile_n = min(tile_n, 128)   # block widen + row temps (see kernel)
     tile_n = min(tile_n, _cdiv(W, 128) * 128)
     n_tiles = _cdiv(W, tile_n)
     pad_n = n_tiles * tile_n - W
@@ -742,7 +941,7 @@ def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 640,
         jax.ShapeDtypeStruct((1, Hp, Wp), jnp.float32),   # second
     )
     outs = pl.pallas_call(
-        _wta_stats_kernel,
+        functools.partial(_wta_stats_kernel, s_blk=s_blk),
         grid=(n_tiles, n_sblocks),
         in_specs=[in_spec],
         out_specs=(map_spec,) * 5,

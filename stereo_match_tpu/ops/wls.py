@@ -101,9 +101,13 @@ def wls_filter_disparity(disparity: jnp.ndarray, guide: jnp.ndarray,
     regions in-filled), matching the reference behavior where the WLS output
     is used densely downstream (``disparity_calculation.py:289-302``).
 
-    Note on parameters: OpenCV's lambda (settings.ini:21, default 80000)
-    lives in an 8-bit guide / DISP_SCALE=16 fixed-point world; values here
-    are equivalent smoothing strengths in float disparity units.
+    Parameter mapping to the reference (settings.ini:21-23, lambda=80000
+    sigma=1.2): 1:1. The FGS operator is *linear in the data*, so OpenCV's
+    x16 fixed-point disparity scale cancels out of lambda, and the guide
+    weights exp(-|dI|/sigma) are computed on the same 0-255 gray scale.
+    Validated against an independent dense solve of the same energy at
+    exactly these parameters (tests/test_wls_reference.py; this cv2 build
+    has no ximgproc to use as a direct oracle).
     """
     d = jnp.asarray(disparity, jnp.float32)
     valid = jnp.isfinite(d)

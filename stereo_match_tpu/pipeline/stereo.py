@@ -69,7 +69,11 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
             census_volume_T_pallas, census_volume_pallas)
         cl = jnp.moveaxis(census_transform(left_gray, cfg.census_window), -1, 0)
         cr = jnp.moveaxis(census_transform(right_gray, cfg.census_window), -1, 0)
-        dt = jnp.dtype(cfg.dtype)
+        # The accelerator path always uses f32 volumes: SGM here is
+        # VPU-bound (int16 would only shrink HBM traffic that is not the
+        # bottleneck) and Mosaic's int16 scan kernels blow the scoped-VMEM
+        # stack budget at production shapes (see DisparityConfig.dtype).
+        dt = jnp.float32
         vol = census_volume_pallas(cl, cr, cfg.num_disparities,
                                    cfg.min_disparity, dtype=dt)
         vol_T = census_volume_T_pallas(

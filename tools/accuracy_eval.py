@@ -1,0 +1,79 @@
+"""Full-resolution accuracy artifact: ours vs cv2.StereoSGBM at
+production settings (settings.ini defaults), KITTI resolution.
+
+Writes ACCURACY.json (committed). Run on the real TPU:
+
+    nohup python tools/accuracy_eval.py > /tmp/accuracy.log 2>&1 &
+
+cv2 runs on the host CPU as the oracle (the reference's actual matcher);
+the framework runs its normal TPU path.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W, D = 375, 1242, 128
+
+
+def main() -> int:
+    import jax
+
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.data.synthetic import (box_scene, random_dot_pair,
+                                                 slanted_scene)
+    from stereo_match_tpu.eval.parity import (opencv_sgbm_disparity,
+                                              parity_report)
+    from stereo_match_tpu.pipeline.stereo import StereoMatcher
+
+    scenes = {
+        "slanted_kitti_res": slanted_scene(H, W, 5.0, 90.0),
+        "box_kitti_res": box_scene(H, W, background=12.0, foreground=70.0),
+    }
+    cfg = DisparityConfig(num_disparities=D, uniqueness_ratio=15,
+                          disp12_max_diff=1, speckle_window_size=0,
+                          wls=False)
+    cfg_speckle = cfg.replace(speckle_window_size=100, speckle_range=2)
+
+    out = {"device": str(jax.devices()[0]),
+           "settings": {"num_disparities": D, "uniqueness_ratio": 15,
+                        "disp12_max_diff": 1, "window_size": cfg.window_size,
+                        "cost": cfg.cost, "dtype": cfg.dtype},
+           "scenes": []}
+    worst = -1.0
+    for name, gt in scenes.items():
+        left, right = random_dot_pair(H, W, gt, blur=1.0, seed=7)
+        for tag, c in (("", cfg), ("+speckle", cfg_speckle)):
+            t0 = time.time()
+            ours, _ = StereoMatcher(c)(left, right)
+            ours = np.asarray(ours)
+            t_ours = time.time() - t0
+            t0 = time.time()
+            ref = opencv_sgbm_disparity(left, right, c, mode="hh")
+            t_ref = time.time() - t0
+            rep = parity_report(name + tag, gt, ours, ref)
+            rep["wall_s"] = {"ours_incl_compile": round(t_ours, 2),
+                             "opencv_cpu": round(t_ref, 2)}
+            out["scenes"].append(rep)
+            worst = max(worst, rep["bad3_delta"])
+            print(f"{name+tag:28s} ours bad3={rep['ours']['bad3']:.4f} "
+                  f"cv2 bad3={rep['opencv_sgbm']['bad3']:.4f} "
+                  f"delta={rep['bad3_delta']:+.4f}", flush=True)
+
+    out["worst_bad3_delta"] = worst
+    out["target"] = "bad3_delta <= 0.02 (BASELINE.md)"
+    out["pass"] = bool(worst <= 0.02)
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "ACCURACY.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"worst bad3 delta: {worst:+.4f}  pass={out['pass']}")
+    return 0 if out["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""AOT compile-only smoke test at KITTI shape on the real TPU.
+
+Catches Mosaic scoped-VMEM OOMs and legalization failures that
+interpret-mode tests structurally cannot (BENCH_r01 regressed this way:
+a kernel that passed every CPU test failed to compile at 1242x375).
+
+Run before any commit that touches ``ops/pallas_kernels.py``:
+
+    nohup python tools/tpu_compile_check.py > /tmp/compile_check.log 2>&1 &
+
+No kernels execute — ``.lower().compile()`` only — so a pass is purely a
+compile-budget statement; pair with ``bench.py`` for perf claims.
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+# Run as a plain script from anywhere. NOTE: do NOT use PYTHONPATH for
+# this — it breaks the axon TPU plugin registration in this image.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W, D = 375, 1242, 128
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.pipeline.stereo import _match_core
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+    base = dict(num_disparities=D, uniqueness_ratio=15, disp12_max_diff=1,
+                wls=False, speckle_window_size=0)
+    cfgs = {
+        "headline_i16": DisparityConfig(**base),
+        "headline_f32": DisparityConfig(**base, dtype="float32"),
+        "production_wls": DisparityConfig(num_disparities=D),
+    }
+    print(f"device: {jax.devices()[0]}", flush=True)
+    failed = []
+    for name, cfg in cfgs.items():
+        fn = jax.jit(functools.partial(_match_core, cfg=cfg))
+        t0 = time.time()
+        try:
+            fn.lower(left, right).compile()
+            print(f"compile ok:   {name}  ({time.time() - t0:.1f}s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - report and keep checking
+            failed.append(name)
+            print(f"COMPILE FAIL: {name}  ({time.time() - t0:.1f}s)\n{e}",
+                  flush=True)
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("ALL COMPILE CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
