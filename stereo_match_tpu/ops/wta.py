@@ -157,12 +157,13 @@ def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
 
 
 @functools.partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio",
-                                             "disp12_max_diff", "subpixel"))
+                                             "disp12_max_diff", "subpixel",
+                                             "interpret"))
 def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
                            uniqueness_ratio: int = 15,
                            disp12_max_diff: int = 1,
                            subpixel: bool = True,
-                           stats=None) -> jnp.ndarray:
+                           stats=None, interpret: bool = False) -> jnp.ndarray:
     """Pallas fast path of :func:`extract_disparity` (same semantics).
 
     One fused volume pass produces the per-pixel WTA statistics (best,
@@ -181,7 +182,7 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
         agg = agg.astype(jnp.float32)
     D = agg.shape[0]
     best, idx, c0, c2, second = stats if stats is not None \
-        else wta_stats_pallas(agg)
+        else wta_stats_pallas(agg, interpret=interpret)
 
     if subpixel:
         c1 = best
@@ -200,7 +201,8 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
     else:
         mask = jnp.ones(best.shape, bool)
     if disp12_max_diff >= 0:
-        disp_right = (right_wta_pallas(agg) + min_disparity).astype(jnp.float32)
+        disp_right = (right_wta_pallas(agg, interpret=interpret)
+                      + min_disparity).astype(jnp.float32)
         mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
                                           min_disparity)
     return jnp.where(mask, disp, jnp.nan)

@@ -4,3 +4,6 @@ from stereo_match_tpu.parallel.mesh import (  # noqa: F401
 )
 from stereo_match_tpu.parallel.tiling import sgm_aggregate_sharded  # noqa: F401
 from stereo_match_tpu.parallel.batch import batched_matcher  # noqa: F401
+from stereo_match_tpu.parallel.pipeline_stage import (  # noqa: F401
+    StreamingPipeline, make_stage_mesh,
+)

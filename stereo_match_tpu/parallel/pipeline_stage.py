@@ -1,0 +1,229 @@
+"""Pipeline-stage parallelism: streaming video across chips.
+
+The "PP analog" of SURVEY.md §2's parallelism inventory: the reference
+processes one frame at a time through rectify -> cost -> SGM -> post
+(``disparity_calculation.py`` flow); for streaming video on a TPU slice the
+same stages become a chip-resident pipeline — chip ``i`` holds stage ``i``,
+frames enter at chip 0, and the inter-stage activation (the cost volume +
+running path-total pair) rotates one hop per step over ICI via
+``lax.ppermute``. With S chips, S frames are in flight and steady-state
+throughput is one frame per *stage* time instead of one per *pipeline*
+time.
+
+Stage decomposition (exactly the single-chip fast path's pass structure,
+``ops/pallas_kernels.sgm_aggregate_wta_pallas``, so outputs are
+bit-identical to ``pipeline.stereo._match_core``):
+
+====  =====================================================================
+  0   census words -> (D, W, H) volume (transposed builder) + horizontal
+      forward scan
+  1   horizontal reverse scan; transpose to planes layout (D, H, W)
+  2   fused vertical+diagonal forward pass (scan3)
+  3   fused reverse pass with WTA statistics; uniqueness/LR/subpixel;
+      speckle + WLS
+====  =====================================================================
+
+``n_stages=2`` fuses {0,1} and {2,3} for a 2-chip pipeline. The in-flight
+payload is a flat (2, D*H*W) float32 slab so every stage's activation has
+one uniform shape (stage 0/1 view it as (D, W, H), stages 2/3 as
+(D, H, W)) — ``lax.switch`` branches and the ppermute rotation then need
+no per-stage plumbing.
+
+All of this runs inside ``shard_map`` over a mesh "stage" axis; on CPU
+meshes (tests, dryrun) the Pallas kernels run in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from stereo_match_tpu.config import DisparityConfig
+
+
+def _census_T(img: jnp.ndarray, window) -> jnp.ndarray:
+    from stereo_match_tpu.ops.census import census_transform
+    return jnp.swapaxes(jnp.moveaxis(census_transform(img, window), -1, 0),
+                        1, 2)
+
+
+def make_stage_fns(cfg: DisparityConfig, image_shape: tuple[int, int],
+                   n_stages: int, interpret: bool):
+    """The ``lax.switch`` branches: (payload, left, right) -> (payload, out).
+
+    ``payload``: (2, D*H*W) float32; ``out``: (2, H, W) [raw, filtered]
+    disparity, zeros except from the final stage.
+    """
+    if cfg.cost != "census" or cfg.num_paths != 8 or cfg.min_disparity < 0:
+        raise ValueError("stage pipeline supports the production fast path: "
+                         "census cost, 8-path SGM, min_disparity >= 0")
+    if n_stages not in (2, 4):
+        raise ValueError("n_stages must be 2 or 4")
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_T_pallas, sgm_scan3_pallas, sgm_scan3_stats_pallas,
+        sgm_scan_pallas)
+    from stereo_match_tpu.ops.speckle import speckle_filter
+    from stereo_match_tpu.ops.wls import wls_filter_disparity
+    from stereo_match_tpu.ops.wta import extract_disparity_fast
+
+    H, W = image_shape
+    D = cfg.num_disparities
+    p1, p2 = cfg.P1, cfg.P2
+    kw = dict(p1=p1, p2=p2, interpret=interpret)
+
+    def pack(a, b):
+        return jnp.stack([a.reshape(-1), b.reshape(-1)])
+
+    def unpack(p, shape):
+        return p[0].reshape(shape), p[1].reshape(shape)
+
+    zero_out = jnp.zeros((2, H, W), jnp.float32)
+
+    def build_hfwd(p, left, right):
+        clT = _census_T(left, cfg.census_window)
+        crT = _census_T(right, cfg.census_window)
+        volT = census_volume_T_pallas(clT, crT, D, cfg.min_disparity,
+                                      dtype=jnp.float32, interpret=interpret)
+        totT = sgm_scan_pallas(volT, None, reverse=False, **kw)
+        return pack(volT, totT), zero_out
+
+    def hrev_transpose(p, left, right):
+        volT, totT = unpack(p, (D, W, H))
+        totT = sgm_scan_pallas(volT, totT, reverse=True, **kw)
+        return pack(jnp.swapaxes(volT, 1, 2), jnp.swapaxes(totT, 1, 2)), \
+            zero_out
+
+    def scan3_fwd(p, left, right):
+        vol, tot = unpack(p, (D, H, W))
+        tot = sgm_scan3_pallas(vol, tot, reverse=False, **kw)
+        return pack(vol, tot), zero_out
+
+    def scan3_rev_post(p, left, right):
+        vol, tot = unpack(p, (D, H, W))
+        outs = sgm_scan3_stats_pallas(vol, tot, p1, p2, reverse=True,
+                                      interpret=interpret)
+        agg, stats = outs[0], outs[1:]
+        disp = extract_disparity_fast(
+            agg, stats=stats, min_disparity=cfg.min_disparity,
+            uniqueness_ratio=cfg.uniqueness_ratio,
+            disp12_max_diff=cfg.disp12_max_diff, subpixel=cfg.subpixel,
+            interpret=interpret)
+        disp = speckle_filter(disp, cfg.speckle_window_size,
+                              cfg.speckle_range)
+        if cfg.wls:
+            filt = wls_filter_disparity(disp, left, lmbda=cfg.lmbda,
+                                        sigma_color=cfg.sigma,
+                                        num_iter=cfg.wls_iters)
+        else:
+            filt = disp
+        return pack(vol, agg), jnp.stack([disp, filt])
+
+    units = [build_hfwd, hrev_transpose, scan3_fwd, scan3_rev_post]
+    if n_stages == 4:
+        return units
+
+    def compose(f, g):
+        def h(p, left, right):
+            p, _ = f(p, left, right)
+            return g(p, left, right)
+        return h
+
+    return [compose(units[0], units[1]), compose(units[2], units[3])]
+
+
+class StreamingPipeline:
+    """Chip-resident stage pipeline over a mesh "stage" axis.
+
+    >>> mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("stage",))
+    >>> pipe = StreamingPipeline(cfg, mesh, image_shape=(H, W))
+    >>> results = pipe.run(frames)          # [(raw, filtered), ...]
+
+    Frame t's disparity emerges ``n_stages - 1`` steps after it is fed;
+    :meth:`run` handles the fill/flush bookkeeping. State (the S in-flight
+    activations) lives sharded on the devices between steps.
+    """
+
+    def __init__(self, config: DisparityConfig, mesh: Mesh,
+                 image_shape: tuple[int, int], axis: str = "stage",
+                 interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.config = config
+        self.mesh = mesh
+        self.axis = axis
+        self.n_stages = mesh.shape[axis]
+        H, W = image_shape
+        self.image_shape = (H, W)
+        D = config.num_disparities
+        branches = make_stage_fns(config, image_shape, self.n_stages,
+                                  interpret)
+        S = self.n_stages
+        axis_name = axis
+
+        fwd = [(k, k + 1) for k in range(S - 1)]
+
+        def step_local(state, lstate, left, right):
+            # each frame's left image travels with its activation (stage
+            # S-1's WLS guides on *its* frame, not the one being fed now)
+            i = jax.lax.axis_index(axis_name)
+            my_left = jnp.where(i == 0, left, lstate[0])
+            payload, out = jax.lax.switch(i, branches, state[0], my_left,
+                                          right)
+            return (jax.lax.ppermute(payload, axis_name, fwd)[None],
+                    jax.lax.ppermute(my_left, axis_name, fwd)[None],
+                    out[None])
+
+        spec_state = P(axis, None, None)
+        spec_img = P(axis, None, None)
+        spec_out = P(axis, None, None, None)
+        stepped = shard_map(step_local, mesh=mesh,
+                            in_specs=(spec_state, spec_img, P(None, None),
+                                      P(None, None)),
+                            out_specs=(spec_state, spec_img, spec_out),
+                            check_vma=False)
+        self._step = jax.jit(stepped, donate_argnums=(0, 1))
+        self._state = jnp.zeros((S, 2, D * H * W), jnp.float32)
+        self._lstate = jnp.zeros((S, H, W), jnp.float32)
+        self._fed = 0
+
+    def step(self, left, right) -> np.ndarray | None:
+        """Feed one frame pair; returns the (2, H, W) [raw, filtered]
+        disparity of the frame fed ``n_stages - 1`` steps ago, or None
+        while the pipeline is still filling."""
+        l = jnp.asarray(np.asarray(left), jnp.float32)
+        r = jnp.asarray(np.asarray(right), jnp.float32)
+        self._state, self._lstate, outs = self._step(self._state,
+                                                     self._lstate, l, r)
+        self._fed += 1
+        if self._fed >= self.n_stages:
+            return np.asarray(outs[-1])
+        return None
+
+    def run(self, frames) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Stream ``frames`` (iterable of (left, right)) through the
+        pipeline; returns [(raw, filtered)] per frame, in order."""
+        results = []
+        zero = np.zeros(self.image_shape, np.float32)
+        n = 0
+        for left, right in frames:
+            out = self.step(left, right)
+            n += 1
+            if out is not None:
+                results.append((out[0], out[1]))
+        for _ in range(self.n_stages - 1):      # flush
+            out = self.step(zero, zero)
+            if out is not None and len(results) < n:
+                results.append((out[0], out[1]))
+        return results
+
+
+def make_stage_mesh(n_stages: int, devices=None) -> Mesh:
+    """A 1-axis ("stage",) mesh over the first ``n_stages`` devices."""
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices())[:n_stages]
+    return Mesh(devices.reshape(n_stages), ("stage",))

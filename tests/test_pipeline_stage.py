@@ -1,0 +1,81 @@
+"""Stage-pipelined streaming: parity with the single-chip fast path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+from stereo_match_tpu.parallel.pipeline_stage import (StreamingPipeline,
+                                                      make_stage_fns,
+                                                      make_stage_mesh)
+from stereo_match_tpu.pipeline.stereo import _match_core
+
+H, W, D = 32, 64, 16
+
+
+def _frames(k, seed0=7):
+    out = []
+    for i in range(k):
+        gt = box_scene(H, W, 2.0 + i % 3, 8.0 + i % 4)
+        out.append(random_dot_pair(H, W, gt, blur=0.8, seed=seed0 + i))
+    return out
+
+
+def _cfg(**kw):
+    base = dict(num_disparities=D, cost="census", uniqueness_ratio=15,
+                disp12_max_diff=1, wls=False, speckle_window_size=0)
+    base.update(kw)
+    return DisparityConfig(**base)
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_streaming_matches_single_chip(n_stages):
+    cfg = _cfg()
+    mesh = make_stage_mesh(n_stages)
+    pipe = StreamingPipeline(cfg, mesh, image_shape=(H, W))
+    frames = _frames(n_stages + 2)
+    results = pipe.run(frames)
+    assert len(results) == len(frames)
+    for (l, r), (raw, filt) in zip(frames, results):
+        ref_raw, ref_filt = _match_core(jnp.asarray(l, jnp.float32),
+                                        jnp.asarray(r, jnp.float32), cfg)
+        np.testing.assert_array_equal(raw, np.asarray(ref_raw))
+        np.testing.assert_array_equal(filt, np.asarray(ref_filt))
+
+
+def test_streaming_with_postprocessing():
+    """WLS + speckle run in the final stage, matching _match_core."""
+    cfg = _cfg(wls=True, wls_iters=2, speckle_window_size=12,
+               speckle_range=2)
+    mesh = make_stage_mesh(4)
+    pipe = StreamingPipeline(cfg, mesh, image_shape=(H, W))
+    frames = _frames(5, seed0=21)
+    results = pipe.run(frames)
+    for (l, r), (raw, filt) in zip(frames, results):
+        ref_raw, ref_filt = _match_core(jnp.asarray(l, jnp.float32),
+                                        jnp.asarray(r, jnp.float32), cfg)
+        np.testing.assert_allclose(raw, np.asarray(ref_raw), atol=1e-5)
+        # WLS inside shard_map compiles with different f32 reduction
+        # order; a wrong-frame guide image would be off by whole pixels
+        np.testing.assert_allclose(filt, np.asarray(ref_filt), atol=5e-3)
+        assert not np.array_equal(raw, filt)
+
+
+def test_step_latency_contract():
+    cfg = _cfg()
+    pipe = StreamingPipeline(cfg, make_stage_mesh(4), image_shape=(H, W))
+    frames = _frames(6, seed0=40)
+    outs = [pipe.step(l, r) for l, r in frames]
+    assert all(o is None for o in outs[:3])      # pipeline filling
+    assert all(o is not None and o.shape == (2, H, W) for o in outs[3:])
+
+
+def test_stage_fns_validation():
+    with pytest.raises(ValueError):
+        make_stage_fns(_cfg(cost="sad"), (H, W), 4, interpret=True)
+    with pytest.raises(ValueError):
+        make_stage_fns(_cfg(num_paths=4), (H, W), 4, interpret=True)
+    with pytest.raises(ValueError):
+        make_stage_fns(_cfg(), (H, W), 3, interpret=True)
