@@ -101,12 +101,17 @@ def all_configs() -> dict:
     run("census_sgm8_wls_prod", base.replace(wls=True, wls_iters=3))
     run("census_sgm8_speckle", base.replace(speckle_window_size=100))
 
-    # MC-CNN learned cost feeding SGM (random-init weights: timing only)
+    # MC-CNN learned cost feeding SGM (shipped trained checkpoint)
     import jax.numpy as jnp
     from stereo_match_tpu.costs import MCCNNCost
-    from stereo_match_tpu.models.mccnn import init_params, make_model
+    from stereo_match_tpu.models.mccnn import (init_params,
+                                               load_default_params,
+                                               make_model)
     model = make_model("fast")
-    params = init_params(model, jax.random.PRNGKey(0))
+    try:
+        params = load_default_params("fast")
+    except FileNotFoundError:
+        params = init_params(model, jax.random.PRNGKey(0))
     mc_cfg = base.replace(cost="mccnn")
     provider = MCCNNCost(model, params, mc_cfg)
     core = functools.partial(_match_core, cfg=mc_cfg, cost_fn=provider)

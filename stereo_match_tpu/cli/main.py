@@ -91,11 +91,19 @@ def _method_matcher(args, cfg):
         from stereo_match_tpu.models import mccnn
         model = mccnn.make_model(args.arch)
         if args.mccnn_checkpoint:
-            params = mccnn.load_params(args.mccnn_checkpoint)
+            params = (mccnn.load_params_npz(args.mccnn_checkpoint)
+                      if args.mccnn_checkpoint.endswith(".npz")
+                      else mccnn.load_params(args.mccnn_checkpoint))
         else:
-            params = mccnn.init_params(model, jax.random.PRNGKey(0))
-            print("warning: no --mccnn_checkpoint; random weights",
-                  file=sys.stderr)
+            try:
+                params = mccnn.load_default_params(args.arch)
+                print(f"using shipped checkpoint "
+                      f"{mccnn.default_checkpoint_path(args.arch)}",
+                      file=sys.stderr)
+            except FileNotFoundError:
+                params = mccnn.init_params(model, jax.random.PRNGKey(0))
+                print("warning: no shipped/--mccnn_checkpoint weights; "
+                      "random init", file=sys.stderr)
         cfg = cfg.replace(cost="mccnn")
         provider = MCCNNCost(model, params, cfg)
         from stereo_match_tpu.pipeline.stereo import StereoMatcher
@@ -218,7 +226,10 @@ def cmd_train_mccnn(args) -> int:
     gt = np.load(args.gt) if args.gt.endswith(".npy") else read_kitti_disparity(args.gt)
     model = mccnn.make_model(args.arch)
     params = mccnn.init_params(model, jax.random.PRNGKey(args.seed))
-    a, p, n = mccnn.sample_training_patches(left, right, gt, args.samples,
+    # mine from normalized frames — inference normalizes the same way
+    ln = np.asarray(mccnn.normalize_image(left))
+    rn = np.asarray(mccnn.normalize_image(right))
+    a, p, n = mccnn.sample_training_patches(ln, rn, gt, args.samples,
                                             patch=args.patch)
     bs = args.batch_size
     batches = [(a[i:i + bs], p[i:i + bs], n[i:i + bs])
@@ -236,13 +247,22 @@ def cmd_mono(args) -> int:
     from stereo_match_tpu.data.image import image_read, image_save
     from stereo_match_tpu.models import monodepth as md
     from stereo_match_tpu.viz.plots import colorize_disparity
-    model = md.MonodepthNet()
     if args.checkpoint:
-        from stereo_match_tpu.models.mccnn import load_params
-        params = load_params(args.checkpoint)
+        model = md.make_model("full")
+        from stereo_match_tpu.models.mccnn import load_params, load_params_npz
+        params = (load_params_npz(args.checkpoint)
+                  if args.checkpoint.endswith(".npz")
+                  else load_params(args.checkpoint))
     else:
-        params = md.init_params(model, jax.random.PRNGKey(0))
-        print("warning: no --checkpoint; using random weights", file=sys.stderr)
+        try:
+            model, params = md.load_default()
+            print(f"using shipped checkpoint "
+                  f"{md.default_checkpoint_path()}", file=sys.stderr)
+        except FileNotFoundError:
+            model = md.make_model("full")
+            params = md.init_params(model, jax.random.PRNGKey(0))
+            print("warning: no shipped/--checkpoint weights; random init",
+                  file=sys.stderr)
     img = image_read(args.image)
     disp = md.predict_disparity(model, params, img)
     np.save(args.output + ".npy", disp)

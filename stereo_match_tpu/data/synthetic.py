@@ -12,12 +12,18 @@ import numpy as np
 
 def random_dot_pair(height: int, width: int, gt_disparity: np.ndarray,
                     seed: int = 0, blur: float = 1.0,
-                    noise: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                    noise: float = 0.0,
+                    shading: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Render a (left, right) pair from a world texture and a GT disparity.
 
     Convention: d = x_left - x_right >= 0; right[y, x - d] = left[y, x].
     Occluded right pixels keep the farthest (smallest-d) contributor, as a
     real camera would. Returns float32 images in [0, 255].
+
+    ``shading`` in [0, 1] modulates brightness by disparity (closer =
+    brighter), applied *before* the right view is painted so both views
+    shade consistently — the monocular depth cue that makes these scenes
+    learnable for single-image models (pure random dots carry none).
     """
     rng = np.random.default_rng(seed)
     gt = np.asarray(gt_disparity)
@@ -32,6 +38,9 @@ def random_dot_pair(height: int, width: int, gt_disparity: np.ndarray,
         tex = np.apply_along_axis(lambda a: np.convolve(a, k, "same"), 1, tex)
         tex = np.apply_along_axis(lambda a: np.convolve(a, k, "same"), 0, tex)
     left = tex[:, pad:pad + width].copy()
+    if shading > 0:
+        rel = gt / max(float(gt.max()), 1e-6)
+        left = left * (1.0 - shading + shading * rel)
 
     right = np.full((height, width), -1.0, np.float32)
     depth_order = np.argsort(gt, axis=None)  # paint far (small d) first
@@ -61,3 +70,27 @@ def slanted_scene(height: int = 120, width: int = 160,
     """GT disparity: a horizontally slanted plane (subpixel everywhere)."""
     ramp = np.linspace(d_min, d_max, width, dtype=np.float32)
     return np.tile(ramp, (height, 1))
+
+
+def rough_scene(height: int = 120, width: int = 160, seed: int = 0,
+                d_min: float = 2.0, d_max: float = 24.0,
+                cell: int = 16) -> np.ndarray:
+    """GT disparity: smooth random terrain (bilinear-upsampled noise grid).
+
+    The fractal-ish counterpart to the piecewise scenes: continuous
+    disparity with slopes in every direction, used for MC-CNN training
+    diversity and held-out evaluation.
+    """
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0, 1, (height // cell + 2, width // cell + 2))
+    ys = np.linspace(0, coarse.shape[0] - 1.001, height)
+    xs = np.linspace(0, coarse.shape[1] - 1.001, width)
+    y0 = ys.astype(int)
+    x0 = xs.astype(int)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    g = (coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+         + coarse[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+         + coarse[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+         + coarse[np.ix_(y0 + 1, x0 + 1)] * fy * fx)
+    return (d_min + (d_max - d_min) * g).astype(np.float32)

@@ -61,9 +61,17 @@ def init_params(model: MCCNNFeatures, rng: jax.Array,
     return model.init(rng, jnp.zeros((1, *patch, 1)))
 
 
-def _normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    """Zero-mean/unit-std normalization applied before the feature tower.
+
+    Training patches must be mined from images normalized the same way
+    (``make_training_pool`` does) or train/inference distributions drift.
+    """
     img = jnp.asarray(img, jnp.float32)
     return (img - jnp.mean(img)) / (jnp.std(img) + 1e-6)
+
+
+_normalize_image = normalize_image  # backwards-compatible alias
 
 
 def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
@@ -219,6 +227,85 @@ def train(model: MCCNNFeatures, params, batches, learning_rate: float = 3e-3,
         params, opt_state, loss = step_fn(params, opt_state, batch)
         losses.append(float(loss))
     return params, losses
+
+
+def make_training_pool(n_scenes: int, seed: int = 1,
+                       height: int = 96, width: int = 160,
+                       patches_per_scene: int = 1500, patch: int = 16,
+                       num_disparities: int = 32):
+    """Multi-scene synthetic (anchor, positive, negative) patch pool.
+
+    Scenes cycle box / slanted / rough-terrain GT with randomized depth
+    ranges, texture blur, and additive sensor noise (0-20 gray levels) —
+    the augmentation that makes the learned cost beat census under noise
+    (see ``tests/test_mccnn.py::test_shipped_checkpoint_beats_census``).
+    Patches are mined from ``normalize_image``-normalized frames, matching
+    the inference-time preprocessing in :func:`mccnn_cost_volume`.
+    """
+    from stereo_match_tpu.data.synthetic import (box_scene, random_dot_pair,
+                                                 rough_scene, slanted_scene)
+    rng = np.random.default_rng(seed)
+    d_hi = num_disparities - 2
+    A, Ps, N = [], [], []
+    for i in range(n_scenes):
+        kind = i % 3
+        if kind == 0:
+            gt = box_scene(height, width, rng.uniform(2, 8),
+                           rng.uniform(10, d_hi * 0.8))
+        elif kind == 1:
+            gt = slanted_scene(height, width, rng.uniform(1, 4),
+                               rng.uniform(12, d_hi))
+        else:
+            gt = rough_scene(height, width, seed * 100 + i, 2.0, d_hi)
+        noise = float(rng.choice([0.0, 5.0, 10.0, 20.0]))
+        blur = float(rng.choice([0.6, 1.0, 1.5]))
+        left, right = random_dot_pair(height, width, gt, blur=blur,
+                                      seed=seed * 100 + i, noise=noise)
+        ln = np.asarray(normalize_image(left))
+        rn = np.asarray(normalize_image(right))
+        a, p, n = sample_training_patches(ln, rn, gt, patches_per_scene,
+                                          patch=patch, seed=seed * 100 + i)
+        A.append(a)
+        Ps.append(p)
+        N.append(n)
+    A, Ps, N = map(np.concatenate, (A, Ps, N))
+    perm = rng.permutation(len(A))
+    return A[perm], Ps[perm], N[perm]
+
+
+def save_params_npz(path: str, params) -> None:
+    """Flatten the param pytree into one committable .npz file."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {"/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+              for p, v in flat}
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path: str):
+    """Inverse of :func:`save_params_npz` (rebuilds the nested dict)."""
+    with np.load(path) as data:
+        params: dict = {}
+        for key in data.files:
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(data[key])
+    return params
+
+
+def default_checkpoint_path(arch: str = "fast") -> str:
+    """The checkpoint shipped with the package (trained by
+    ``tools/train_mccnn.py`` — the analog of the reference's pretrained
+    ``net_kitti_fast_-a_train_all.t7``, ``mc_cnn/script.py:9``)."""
+    import os
+    return os.path.join(os.path.dirname(__file__), "weights",
+                        f"mccnn_{arch}.npz")
+
+
+def load_default_params(arch: str = "fast"):
+    """Load the shipped weights; raises FileNotFoundError if absent."""
+    return load_params_npz(default_checkpoint_path(arch))
 
 
 def save_params(path: str, params) -> None:

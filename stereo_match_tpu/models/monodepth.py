@@ -65,8 +65,34 @@ class MonodepthNet(nn.Module):
         return disps[::-1]   # [finest(H,W), half-res]
 
 
+def make_model(arch: str = "full") -> MonodepthNet:
+    """`full` (32-256 features) or `small` (16-128, the shipped-checkpoint
+    arch — 4x fewer params, keeps the committed weights lean)."""
+    if arch == "full":
+        return MonodepthNet()
+    if arch == "small":
+        return MonodepthNet(encoder_features=(16, 32, 64, 128))
+    raise ValueError(f"unknown arch: {arch}")
+
+
 def init_params(model: MonodepthNet, rng, shape=(1, 64, 96, 3)) -> Any:
     return model.init(rng, jnp.zeros(shape))
+
+
+def default_checkpoint_path(arch: str = "small") -> str:
+    """Shipped weights (trained by ``tools/train_monodepth.py`` — the
+    analog of the reference's external checkpoints,
+    ``monodepth/script.py:8-10``)."""
+    import os
+    return os.path.join(os.path.dirname(__file__), "weights",
+                        f"monodepth_{arch}.npz")
+
+
+def load_default(arch: str = "small"):
+    """(model, params) from the shipped checkpoint; FileNotFoundError if
+    the weights file is absent."""
+    from stereo_match_tpu.models.mccnn import load_params_npz
+    return make_model(arch), load_params_npz(default_checkpoint_path(arch))
 
 
 def predict_disparity(model: MonodepthNet, params, image: np.ndarray) -> np.ndarray:

@@ -3,13 +3,21 @@
 The capability behind OpenCV SGBM's ``speckleWindowSize`` /
 ``speckleRange`` parameters (``stereo_vision/stereo_vision.py:159-160``,
 settings.ini:13-16). Connected components are irregular host-style compute;
-the TPU-native formulation is iterative min-label flood fill — a fixed
-number of 4-neighbor label relaxations (pure elementwise mins + shifts,
-fully vectorized) followed by a segment-sum to measure component sizes.
+the TPU-native formulation is min-label flood fill by *segmented min
+scans*: one sweep propagates each pixel's label across its entire
+connected run along a row (then column) via ``lax.associative_scan`` with
+a segment-break flag — log-depth, fully vectorized, and gather-free — so
+a whole-image component converges in as many sweeps as its geometry has
+"turns" (2-3 for natural disparity maps) instead of geodesic-diameter
+many neighbor relaxations. Component sizes then come from one
+segment-sum.
 
-``max_iters`` bounds the component diameter that is *exactly* measured;
-components larger than that are conservatively kept (they are by
-construction larger than any sane speckle_window_size).
+Two rejected designs, measured at KITTI size (375x1242): per-neighbor
+relaxation needs diameter-many iterations (a 512-iteration loop still
+hadn't converged — and pre-fixpoint it splits large components and
+over-removes: 1.67% removed vs the correct 0.61%); pointer jumping
+(``label <- label[label]``) converges in 11 rounds but its (H*W,) gather
+lowers catastrophically on TPU (~40 ms/frame in the compiled pipeline).
 """
 
 from __future__ import annotations
@@ -37,12 +45,14 @@ def _neighbor_shift(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("max_speckle_size", "max_iters"))
 def speckle_filter(disparity: jnp.ndarray, max_speckle_size: int,
-                   max_diff: float, max_iters: int = 512) -> jnp.ndarray:
+                   max_diff: float, max_iters: int = 64) -> jnp.ndarray:
     """Invalidate (NaN) connected components smaller than max_speckle_size.
 
     Two pixels are connected when 4-adjacent and |d_a - d_b| <= max_diff —
     the OpenCV ``filterSpeckles`` notion of a speckle. ``max_speckle_size``
-    <= 0 disables (the settings.ini default is 0).
+    <= 0 disables (the settings.ini default is 0). ``max_iters`` is a
+    safety cap only: with pointer jumping the reach doubles per round, so
+    64 covers any component a 2^64-pixel image could hold.
     """
     if max_speckle_size <= 0:
         return disparity
@@ -56,27 +66,43 @@ def speckle_filter(disparity: jnp.ndarray, max_speckle_size: int,
         big)
 
     dval = jnp.where(valid, d, jnp.float32(jnp.inf))
+    # connection-to-predecessor masks (loop-invariant): along x for the
+    # forward row scan, along y for the forward column scan; the reverse
+    # scans use the same connectivity seen from the other side
+    conn_x = valid & (jnp.abs(_neighbor_shift(dval, 0, 1, jnp.float32(jnp.inf))
+                              - dval) <= max_diff)
+    conn_y = valid & (jnp.abs(_neighbor_shift(dval, 1, 0, jnp.float32(jnp.inf))
+                              - dval) <= max_diff)
 
-    def relax(labels):
-        out = labels
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nl = _neighbor_shift(labels, dy, dx, big)
-            nd = _neighbor_shift(dval, dy, dx, jnp.float32(jnp.inf))
-            connected = valid & (jnp.abs(nd - dval) <= max_diff)
-            out = jnp.minimum(out, jnp.where(connected, nl, big))
+    def seg_min_scan(labels, conn, axis, reverse):
+        # segmented min: a break flag restarts the running minimum at
+        # every pixel not connected to its scan-order predecessor
+        brk = ~(_neighbor_shift(conn, -1, 0, False) if (reverse and axis == 0)
+                else _neighbor_shift(conn, 0, -1, False)
+                if (reverse and axis == 1) else conn)
+
+        def comb(a, b):
+            mv = jnp.where(b[1], b[0], jnp.minimum(a[0], b[0]))
+            return mv, a[1] | b[1]
+
+        out, _ = jax.lax.associative_scan(comb, (labels, brk), axis=axis,
+                                          reverse=reverse)
         return out
 
-    # Iterate to a global fixpoint (geodesic-diameter many steps), capped at
-    # max_iters. Pre-fixpoint termination could split a large component into
-    # several labels and over-remove; the cap only bites on pathological
-    # snake/spiral components far larger than any speckle.
+    def sweep(labels):
+        labels = seg_min_scan(labels, conn_x, 1, False)
+        labels = seg_min_scan(labels, conn_x, 1, True)
+        labels = seg_min_scan(labels, conn_y, 0, False)
+        labels = seg_min_scan(labels, conn_y, 0, True)
+        return labels
+
     def cond(state):
         labels, changed, it = state
         return changed & (it < max_iters)
 
     def body(state):
         labels, _, it = state
-        new = relax(labels)
+        new = sweep(labels)
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))

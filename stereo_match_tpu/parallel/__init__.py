@@ -7,3 +7,7 @@ from stereo_match_tpu.parallel.batch import batched_matcher  # noqa: F401
 from stereo_match_tpu.parallel.pipeline_stage import (  # noqa: F401
     StreamingPipeline, make_stage_mesh,
 )
+from stereo_match_tpu.parallel.multihost import (  # noqa: F401
+    batched_matcher_multihost, host_local_slice, load_host_sharded,
+    make_host_mesh,
+)

@@ -138,3 +138,47 @@ def test_sharded_train_step(model_and_params):
     l1 = jax.tree.leaves(p1)[0]
     l2 = jax.tree.leaves(p2)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_params_npz_roundtrip(model_and_params, tmp_path):
+    from stereo_match_tpu.models.mccnn import load_params_npz, save_params_npz
+    model, params = model_and_params
+    path = str(tmp_path / "ckpt.npz")
+    save_params_npz(path, params)
+    restored = load_params_npz(path)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params, restored)
+
+
+def test_shipped_checkpoint_beats_census():
+    """The committed mccnn_fast.npz (tools/train_mccnn.py recipe) ties
+    census on clean scenes and beats it on noisy held-out scenes — the
+    evidence that the learned cost is useful, not just plumbed (the
+    reference ships pretrained nets, mc_cnn/script.py:9)."""
+    from stereo_match_tpu.data.synthetic import rough_scene
+    from stereo_match_tpu.models.mccnn import load_default_params
+    from stereo_match_tpu.pipeline.stereo import StereoMatcher
+
+    model = make_model("fast")
+    params = load_default_params("fast")
+    cfg_c = DisparityConfig(num_disparities=32, cost="census",
+                            uniqueness_ratio=15, disp12_max_diff=1,
+                            wls=False)
+    cfg_m = cfg_c.replace(cost="mccnn")
+    m_census = StereoMatcher(cfg_c)
+    m_mccnn = StereoMatcher(cfg_m, cost_fn=MCCNNCost(model, params, cfg_m))
+
+    # held out from the training pool (seeds/scene params differ)
+    gt = rough_scene(96, 160, 999, 2, 24)
+    results = {}
+    for noise in (0.0, 25.0):
+        l, r = random_dot_pair(96, 160, gt, blur=1.0, seed=555, noise=noise)
+        dc, _ = m_census(l, r)
+        dm, _ = m_mccnn(l, r)
+        results[noise] = (float(bad_pixel_rate(np.asarray(dc), gt, 3.0, 0.0)),
+                          float(bad_pixel_rate(np.asarray(dm), gt, 3.0, 0.0)))
+    clean_c, clean_m = results[0.0]
+    noisy_c, noisy_m = results[25.0]
+    assert clean_m <= clean_c + 0.03, results      # ties on clean
+    assert noisy_m < noisy_c, results              # wins under noise
+    assert noisy_m < 0.25, results                 # and is absolutely usable

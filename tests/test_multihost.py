@@ -1,0 +1,85 @@
+"""Multi-host logic on a simulated 2-host x 4-chip CPU mesh (DCN analog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_match_tpu.config import DisparityConfig
+from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+from stereo_match_tpu.parallel.multihost import (batch_sharding,
+                                                 batched_matcher_multihost,
+                                                 host_local_slice,
+                                                 load_host_sharded,
+                                                 make_host_mesh)
+from stereo_match_tpu.pipeline.stereo import _match_core
+
+H, W = 32, 48
+
+
+def _dataset(n):
+    frames = []
+    for i in range(n):
+        gt = box_scene(H, W, 2.0 + i % 3, 8.0 + i % 4)
+        frames.append(random_dot_pair(H, W, gt, blur=0.8, seed=50 + i))
+    return frames
+
+
+def test_make_host_mesh_shapes():
+    mesh = make_host_mesh(n_hosts=2)
+    assert mesh.shape == {"host": 2, "chip": 4}
+    with pytest.raises(ValueError):
+        make_host_mesh(n_hosts=3)
+
+
+def test_host_local_slice_partition():
+    slices = [host_local_slice(16, k, 2) for k in range(2)]
+    covered = np.concatenate([np.arange(16)[s] for s in slices])
+    np.testing.assert_array_equal(covered, np.arange(16))
+    with pytest.raises(ValueError):
+        host_local_slice(15, 0, 2)
+
+
+def test_load_host_sharded_placement_and_content():
+    """Each host group's rows land on its own devices, content intact."""
+    mesh = make_host_mesh(n_hosts=2)
+    n = 8
+    data = np.arange(n * H * W, dtype=np.float32).reshape(n, H, W)
+    loaded_by = []
+
+    def load(i):
+        loaded_by.append(i)
+        return data[i]
+
+    arr = load_host_sharded(load, n, mesh, (H, W))
+    assert sorted(loaded_by) == list(range(n))
+    np.testing.assert_array_equal(np.asarray(arr), data)
+    # placement: rows of host k live on devices of mesh row k
+    host_of_device = {d: k for k, row in enumerate(mesh.devices)
+                      for d in row}
+    for shard in arr.addressable_shards:
+        row0 = shard.index[0].start or 0
+        expected_host = row0 * 2 // n
+        assert host_of_device[shard.device] == expected_host, (
+            f"batch row {row0} on host {host_of_device[shard.device]}, "
+            f"expected {expected_host}")
+
+
+def test_multihost_dp_matcher_matches_single_chip():
+    mesh = make_host_mesh(n_hosts=2)
+    cfg = DisparityConfig(num_disparities=16, uniqueness_ratio=15,
+                          disp12_max_diff=1, wls=False)
+    frames = _dataset(8)
+    lefts = np.stack([f[0] for f in frames])
+    rights = np.stack([f[1] for f in frames])
+
+    la = load_host_sharded(lambda i: lefts[i], 8, mesh, (H, W))
+    ra = load_host_sharded(lambda i: rights[i], 8, mesh, (H, W))
+    raw, filt = batched_matcher_multihost(cfg, mesh)(la, ra)
+    assert raw.sharding.spec == jax.sharding.PartitionSpec(
+        ("host", "chip"), None, None)
+    for i, (l, r) in enumerate(frames):
+        ref, _ = _match_core(jnp.asarray(l, jnp.float32),
+                             jnp.asarray(r, jnp.float32), cfg)
+        np.testing.assert_allclose(np.asarray(raw)[i], np.asarray(ref),
+                                   atol=1e-5)

@@ -112,28 +112,9 @@ def test_extract_disparity_fast_matches_reference(rng):
     for ur, d12, sp in ((0, 1, True), (15, 1, True), (0, -1, False)):
         a = np.asarray(extract_disparity(agg, 0, ur, d12, sp))
         # interpret-mode pallas on CPU
-        with _interpret_wta_kernels():
-            b = np.asarray(extract_disparity_fast(agg, 0, ur, d12, sp))
+        b = np.asarray(extract_disparity_fast(agg, 0, ur, d12, sp,
+                                              interpret=True))
         np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
-
-
-def _interpret_wta_kernels():
-    """Context: run the WTA-stage Pallas kernels in interpret mode (CPU)."""
-    import contextlib
-    import functools as ft
-    import stereo_match_tpu.ops.pallas_kernels as pk
-
-    @contextlib.contextmanager
-    def ctx():
-        origs = (pk.wta_stats_pallas, pk.right_wta_pallas)
-        pk.wta_stats_pallas = ft.partial(origs[0], interpret=True)
-        pk.right_wta_pallas = ft.partial(origs[1], interpret=True)
-        try:
-            yield
-        finally:
-            pk.wta_stats_pallas, pk.right_wta_pallas = origs
-
-    return ctx()
 
 
 def test_right_wta_kernel_matches_reference(rng):
@@ -172,8 +153,8 @@ def test_extract_disparity_fast_int16(rng):
     agg = sgm_aggregate_pallas(vol, 8.0, 96.0, 8, interpret=True)
     assert agg.dtype == jnp.int16
     a = np.asarray(extract_disparity(agg, 0, 15, 1, True))
-    with _interpret_wta_kernels():
-        b = np.asarray(extract_disparity_fast(agg, 0, 15, 1, True))
+    b = np.asarray(extract_disparity_fast(agg, 0, 15, 1, True,
+                                          interpret=True))
     np.testing.assert_allclose(a, b, equal_nan=True, atol=1e-4)
 
 

@@ -65,9 +65,43 @@ def main() -> int:
                   f"cv2 bad3={rep['opencv_sgbm']['bad3']:.4f} "
                   f"delta={rep['bad3_delta']:+.4f}", flush=True)
 
+    # learned cost vs census with the shipped checkpoint (same SGM stack),
+    # clean + noisy KITTI-res scenes — the reference's pretrained-MC-CNN
+    # capability (mc_cnn/script.py:9) with quality evidence
+    from stereo_match_tpu.costs import MCCNNCost
+    from stereo_match_tpu.data.synthetic import rough_scene
+    from stereo_match_tpu.eval.metrics import bad_pixel_rate
+    from stereo_match_tpu.models.mccnn import load_default_params, make_model
+    model = make_model("fast")
+    params = load_default_params("fast")
+    cfg_m = cfg.replace(cost="mccnn")
+    m_census = StereoMatcher(cfg)
+    m_mccnn = StereoMatcher(cfg_m, cost_fn=MCCNNCost(model, params, cfg_m))
+    # gentle terrain: ~0.5 px/px max slope (cell scaled to KITTI width)
+    gt = rough_scene(H, W, 999, 4.0, 80.0, cell=128)
+    mc_block = {}
+    for noise in (0.0, 25.0):
+        left, right = random_dot_pair(H, W, gt, blur=1.0, seed=606,
+                                      noise=noise)
+        dc, _ = m_census(left, right)
+        dm, _ = m_mccnn(left, right)
+        b_c = float(bad_pixel_rate(np.asarray(dc), gt, 3.0, 0.0))
+        b_m = float(bad_pixel_rate(np.asarray(dm), gt, 3.0, 0.0))
+        mc_block[f"noise_{noise:g}"] = {"census_bad3": round(b_c, 4),
+                                        "mccnn_bad3": round(b_m, 4)}
+        print(f"mccnn_vs_census noise={noise:4.1f} census={b_c:.4f} "
+              f"mccnn={b_m:.4f}", flush=True)
+    mc_block["checkpoint"] = "stereo_match_tpu/models/weights/mccnn_fast.npz"
+    mc_block["pass"] = bool(
+        mc_block["noise_0"]["mccnn_bad3"]
+        <= mc_block["noise_0"]["census_bad3"] + 0.03
+        and mc_block["noise_25"]["mccnn_bad3"]
+        < mc_block["noise_25"]["census_bad3"])
+    out["mccnn_vs_census"] = mc_block
+
     out["worst_bad3_delta"] = worst
     out["target"] = "bad3_delta <= 0.02 (BASELINE.md)"
-    out["pass"] = bool(worst <= 0.02)
+    out["pass"] = bool(worst <= 0.02 and mc_block["pass"])
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "ACCURACY.json"), "w") as f:
         json.dump(out, f, indent=2)

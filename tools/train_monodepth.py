@@ -1,0 +1,91 @@
+"""Reproducible recipe for the shipped monodepth checkpoint.
+
+Self-supervised training (appearance + smoothness + LR consistency, no GT
+in the loss) on synthetic stereo pairs rendered with a depth-shading
+monocular cue; writes ``stereo_match_tpu/models/weights/monodepth_small.npz``
+— the analog of the reference's external TF checkpoints
+(``/root/reference/monodepth/script.py:8-10``).
+
+    python tools/train_monodepth.py          # TPU (fast) or CPU
+
+Evaluation (GT used only here): Pearson correlation of predicted vs true
+disparity on held-out scenes, plus affine-calibrated EPE against the best
+constant predictor — self-supervised monocular depth is defined up to
+scale, so the standard protocol calibrates scale/shift per image before
+measuring error (the original monodepth evaluates with median scaling).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+H, W = 64, 96
+
+
+def _scene(seed, noise=0.0):
+    import numpy as np
+    from stereo_match_tpu.data.synthetic import random_dot_pair, rough_scene
+    gt = rough_scene(H, W, seed, 2.0, 20.0, cell=12)
+    l, r = random_dot_pair(H, W, gt, blur=1.2, seed=seed, noise=noise,
+                           shading=0.8)
+    to3 = lambda im: np.repeat(im[..., None], 3, -1) / 255.0
+    return to3(l).astype(np.float32), to3(r).astype(np.float32), gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="small")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from stereo_match_tpu.models import monodepth as md
+    from stereo_match_tpu.models.mccnn import save_params_npz
+
+    model = md.make_model(args.arch)
+    params = md.init_params(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    n_scenes = 64
+    scenes = [_scene(s) for s in range(n_scenes)]
+    rng = np.random.default_rng(0)
+
+    def batches():
+        for _ in range(args.steps):
+            pick = rng.choice(n_scenes, args.batch)
+            yield (np.stack([scenes[i][0] for i in pick]),
+                   np.stack([scenes[i][1] for i in pick]))
+
+    params, losses = md.train(model, params, batches(), args.lr)
+    print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
+
+    out = args.output or md.default_checkpoint_path(args.arch)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_params_npz(out, params)
+    print(f"wrote {out}", file=sys.stderr)
+
+    # held-out eval vs GT (affine calibration: mono depth is up-to-scale)
+    corrs, epes, cal_epes, const_epes = [], [], [], []
+    for s in range(900, 904):
+        l, _, gt = _scene(s)
+        pred = md.predict_disparity(model, params, l * 255.0)
+        corrs.append(float(np.corrcoef(pred.ravel(), gt.ravel())[0, 1]))
+        epes.append(float(np.mean(np.abs(pred - gt))))
+        a, b = np.polyfit(pred.ravel(), gt.ravel(), 1)
+        cal_epes.append(float(np.mean(np.abs(a * pred + b - gt))))
+        const_epes.append(float(np.mean(np.abs(np.median(gt) - gt))))
+    report = {"checkpoint": out,
+              "pearson_r": round(float(np.mean(corrs)), 4),
+              "epe": round(float(np.mean(epes)), 3),
+              "affine_calibrated_epe": round(float(np.mean(cal_epes)), 3),
+              "constant_predictor_epe": round(float(np.mean(const_epes)), 3)}
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
