@@ -47,3 +47,28 @@ def test_loss_finite_and_training_reduces(net):
     assert np.isfinite(l0)
     params, losses = train(model, params, [(lb, rb)] * 25, learning_rate=1e-3)
     assert losses[-1] < l0, (l0, losses[-1])
+
+
+def test_shipped_checkpoint_predicts_depth():
+    """The committed monodepth_small.npz (tools/train_monodepth.py,
+    self-supervised — no GT in the loss) recovers the depth structure of
+    held-out shaded scenes: prediction correlates with GT, and after
+    per-image affine calibration (mono depth is defined up to scale — the
+    standard monodepth eval protocol) beats the best constant predictor."""
+    import numpy as np
+    from stereo_match_tpu.data.synthetic import random_dot_pair, rough_scene
+    from stereo_match_tpu.models import monodepth as md
+
+    model, params = md.load_default()
+    corrs, cal_epe, const_epe = [], [], []
+    for s in (900, 901, 902, 903):
+        gt = rough_scene(64, 96, s, 2.0, 20.0, cell=12)
+        l, _ = random_dot_pair(64, 96, gt, blur=1.2, seed=s, shading=0.8)
+        img = np.repeat(l[..., None], 3, -1)
+        pred = md.predict_disparity(model, params, img)
+        corrs.append(float(np.corrcoef(pred.ravel(), gt.ravel())[0, 1]))
+        a, b = np.polyfit(pred.ravel(), gt.ravel(), 1)
+        cal_epe.append(float(np.mean(np.abs(a * pred + b - gt))))
+        const_epe.append(float(np.mean(np.abs(np.median(gt) - gt))))
+    assert np.mean(corrs) > 0.4, corrs
+    assert np.mean(cal_epe) < 0.95 * np.mean(const_epe), (cal_epe, const_epe)
