@@ -5,9 +5,10 @@ baseline is the BASELINE.md north-star target of 30 fps/chip at 1242x375,
 128 disparities (census cost, 8-path SGM, WTA+subpixel+LR, on-device).
 
 ``--all`` additionally benchmarks the other BASELINE.json configs (BM,
-BT+SGM, MC-CNN cost, full pipeline with WLS, ELAS) and writes
+BT+SGM, MC-CNN cost, full pipeline with WLS and speckle) and writes
 ``BENCH_DETAILS.json``; extra prose goes to stderr so stdout stays one
-JSON line.
+JSON line. (ELAS is excluded: its Delaunay step is host-side C++, so it
+has no streamed-dispatch fps — see ``benchmarks/stagebench.py``.)
 
 Run on real TPU hardware (no env overrides). The harness streams K frames
 per dispatch: a per-dispatch measurement would mostly time the ~40 ms

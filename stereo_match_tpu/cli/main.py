@@ -248,11 +248,12 @@ def cmd_mono(args) -> int:
     from stereo_match_tpu.models import monodepth as md
     from stereo_match_tpu.viz.plots import colorize_disparity
     if args.checkpoint:
-        model = md.make_model("full")
         from stereo_match_tpu.models.mccnn import load_params, load_params_npz
         params = (load_params_npz(args.checkpoint)
                   if args.checkpoint.endswith(".npz")
                   else load_params(args.checkpoint))
+        arch = getattr(args, "mono_arch", None) or md.infer_arch(params)
+        model = md.make_model(arch)
     else:
         try:
             model, params = md.load_default()
@@ -364,6 +365,9 @@ def build_parser() -> argparse.ArgumentParser:
     o = sub.add_parser("mono", help="monocular depth (single image)")
     o.add_argument("image")
     o.add_argument("--checkpoint", default=None)
+    o.add_argument("--mono-arch", default=None, choices=["full", "small"],
+                   help="model architecture of --checkpoint (default: "
+                        "inferred from the checkpoint's parameter shapes)")
     o.add_argument("--output", default="mono_disparity.png")
     o.set_defaults(fn=cmd_mono)
 

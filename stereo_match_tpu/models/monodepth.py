@@ -79,6 +79,21 @@ def init_params(model: MonodepthNet, rng, shape=(1, 64, 96, 3)) -> Any:
     return model.init(rng, jnp.zeros(shape))
 
 
+def infer_arch(params) -> str:
+    """"full" or "small", read off a checkpoint's first-encoder width.
+
+    ``tools/train_monodepth.py`` writes "small" checkpoints by default
+    while the CLI historically assumed "full"; inferring from the loaded
+    parameter shapes makes ``--checkpoint`` work with either.
+    """
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in leaves:
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "ConvBlock_0" in keys and keys[-1] == "kernel":
+            return "small" if leaf.shape[-1] == 16 else "full"
+    raise ValueError("cannot infer monodepth arch from checkpoint params")
+
+
 def default_checkpoint_path(arch: str = "small") -> str:
     """Shipped weights (trained by ``tools/train_monodepth.py`` — the
     analog of the reference's external checkpoints,

@@ -50,9 +50,13 @@ def speckle_filter(disparity: jnp.ndarray, max_speckle_size: int,
 
     Two pixels are connected when 4-adjacent and |d_a - d_b| <= max_diff —
     the OpenCV ``filterSpeckles`` notion of a speckle. ``max_speckle_size``
-    <= 0 disables (the settings.ini default is 0). ``max_iters`` is a
-    safety cap only: with pointer jumping the reach doubles per round, so
-    64 covers any component a 2^64-pixel image could hold.
+    <= 0 disables (the settings.ini default is 0). ``max_iters`` caps the
+    sweep loop: each sweep propagates the min label through one more
+    geometric "turn" of a component (a spiral with T turns needs ~T
+    sweeps), so natural disparity maps converge in 2-4 sweeps and the cap
+    is safety only. If the fixpoint is NOT reached at the cap (adversarial
+    geometry), the filter conservatively keeps *all* pixels rather than
+    split-and-over-remove with half-merged labels.
     """
     if max_speckle_size <= 0:
         return disparity
@@ -105,11 +109,12 @@ def speckle_filter(disparity: jnp.ndarray, max_speckle_size: int,
         new = sweep(labels)
         return new, jnp.any(new != labels), it + 1
 
-    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+    labels, unconverged, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.bool_(True), 0))
 
     flat = labels.reshape(-1)
     sizes = jax.ops.segment_sum(valid.reshape(-1).astype(jnp.int32), flat,
                                 num_segments=H * W + 2)
     comp_size = sizes[flat].reshape(H, W)
-    keep = comp_size >= max_speckle_size
+    keep = (comp_size >= max_speckle_size) | unconverged
     return jnp.where(keep & valid, d, jnp.nan)

@@ -34,11 +34,17 @@ def make_host_mesh(n_hosts: int | None = None, devices=None) -> Mesh:
     """A ("host", "chip") mesh.
 
     Real multi-host: ``n_hosts=None`` uses ``jax.process_count()`` and
-    groups devices by owning process (jax.devices() is already
-    process-major). Simulation: pass ``n_hosts`` to split the local
-    devices into that many virtual host groups.
+    groups devices by owning process — devices are explicitly sorted by
+    (process_index, id) first, so each mesh row is owned by exactly one
+    process even if ``jax.devices()`` is not process-contiguous on the
+    platform (``host_local_slice`` relies on this alignment). Simulation:
+    pass ``n_hosts`` to split the local devices into that many virtual
+    host groups.
     """
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
+    devices = np.asarray(devices)
     if n_hosts is None:
         n_hosts = jax.process_count()
     if devices.size % n_hosts:

@@ -187,7 +187,15 @@ class StreamingPipeline:
                             out_specs=(spec_state, spec_img, spec_out),
                             check_vma=False)
         self._step = jax.jit(stepped, donate_argnums=(0, 1))
-        self._state = jnp.zeros((S, 2, D * H * W), jnp.float32)
+        self._shapes = (S, 2, D * H * W)
+        self.reset()
+
+    def reset(self) -> None:
+        """Clear all in-flight activations (called by :meth:`run`, so one
+        pipeline instance can stream several independent sequences)."""
+        S, two, DHW = self._shapes
+        H, W = self.image_shape
+        self._state = jnp.zeros((S, two, DHW), jnp.float32)
         self._lstate = jnp.zeros((S, H, W), jnp.float32)
         self._fed = 0
 
@@ -206,7 +214,11 @@ class StreamingPipeline:
 
     def run(self, frames) -> list[tuple[np.ndarray, np.ndarray]]:
         """Stream ``frames`` (iterable of (left, right)) through the
-        pipeline; returns [(raw, filtered)] per frame, in order."""
+        pipeline; returns [(raw, filtered)] per frame, in order. Resets
+        first, so back-to-back :meth:`run` calls are independent (stale
+        flush activations would otherwise shift every output by
+        ``n_stages - 1`` frames)."""
+        self.reset()
         results = []
         zero = np.zeros(self.image_shape, np.float32)
         n = 0

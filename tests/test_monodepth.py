@@ -72,3 +72,11 @@ def test_shipped_checkpoint_predicts_depth():
         const_epe.append(float(np.mean(np.abs(np.median(gt) - gt))))
     assert np.mean(corrs) > 0.4, corrs
     assert np.mean(cal_epe) < 0.95 * np.mean(const_epe), (cal_epe, const_epe)
+
+
+def test_infer_arch_roundtrip():
+    import jax
+    from stereo_match_tpu.models import monodepth as md
+    for arch in ("small", "full"):
+        params = md.init_params(md.make_model(arch), jax.random.PRNGKey(0))
+        assert md.infer_arch(params) == arch

@@ -79,3 +79,18 @@ def test_stage_fns_validation():
         make_stage_fns(_cfg(num_paths=4), (H, W), 4, interpret=True)
     with pytest.raises(ValueError):
         make_stage_fns(_cfg(), (H, W), 3, interpret=True)
+
+
+def test_run_is_reusable():
+    """A second run() on the same instance must reset in-flight state
+    (advisor round-2 finding: stale flush activations shifted outputs)."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(2)
+    pipe = StreamingPipeline(cfg, mesh, image_shape=(H, W))
+    frames = _frames(3, seed0=41)
+    first = pipe.run(frames)
+    second = pipe.run(frames)
+    assert len(first) == len(second) == len(frames)
+    for (r1, f1), (r2, f2) in zip(first, second):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)

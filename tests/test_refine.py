@@ -153,3 +153,79 @@ def test_image_measure_runs():
     out = np.asarray(image_measure(jnp.asarray(img)))
     assert out.shape == img.shape
     assert out.min() >= 0 and out.max() <= 255
+
+
+def test_speckle_unconverged_keeps_all():
+    """If the sweep fixpoint is not reached at the iteration cap, the
+    filter must conservatively keep pixels, never split-and-remove
+    (advisor round-2: a >cap-turn spiral lost 337 px of one component)."""
+    # a long serpentine: one connected component whose min label needs many
+    # geometry turns to traverse; with max_iters=1 it cannot converge
+    H_, W_ = 16, 33
+    d = np.full((H_, W_), np.nan, np.float32)
+    for row in range(0, H_, 2):
+        d[row, :] = 5.0
+        if row + 1 < H_:
+            d[row + 1, -1 if (row // 2) % 2 == 0 else 0] = 5.0
+    out = np.asarray(speckle_filter(jnp.asarray(d), 10 ** 6, 1.0,
+                                    max_iters=1))
+    np.testing.assert_array_equal(np.isfinite(out), np.isfinite(d))
+
+
+def test_fgs_solve_pallas_matches_tridiagonal():
+    """One Pallas Thomas solve vs the lax.scan reference: identical
+    per-step math => equal to within FMA-fusion ulps (~1e-7; the scan and
+    the unrolled kernel compile with different fused multiply-adds, so
+    exact bit-equality is not attainable for float division chains)."""
+    from stereo_match_tpu.ops.pallas_wls import (_scan_weights,
+                                                 fgs_solve_pallas)
+    rng = np.random.default_rng(0)
+    H_, W_ = 21, 45
+    f = rng.normal(size=(H_, W_)).astype(np.float32)
+    w = rng.uniform(0, 1, (H_, W_ - 1)).astype(np.float32)
+    lam = jnp.float32(190.476)
+    want = np.asarray(_tridiagonal_smooth_rows(jnp.asarray(f),
+                                               jnp.asarray(w), lam))
+    wp, wn = _scan_weights(jnp.swapaxes(jnp.asarray(w), 0, 1))
+    got = np.asarray(fgs_solve_pallas(
+        jnp.swapaxes(jnp.asarray(f), 0, 1)[None], wp, wn, lam,
+        interpret=True))[0].T
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_fgs_pallas_matches_xla():
+    """Composed 3-iteration FGS schedule: ulp noise is amplified by the
+    strongly-smoothing (ill-conditioned) lambda ladder, so tolerance is
+    wider than the single-solve test; plumbing bugs (weights, schedule,
+    transposes) would show as O(1) errors."""
+    from stereo_match_tpu.ops.pallas_wls import fast_global_smoother_pallas
+    rng = np.random.default_rng(3)
+    H_, W_ = 21, 45
+    guide = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
+    a = rng.normal(size=(H_, W_)).astype(np.float32)
+    b = rng.uniform(0, 1, (H_, W_)).astype(np.float32)
+    got = np.asarray(fast_global_smoother_pallas(
+        jnp.stack([jnp.asarray(a), jnp.asarray(b)]), jnp.asarray(guide),
+        8000.0, 8.0, num_iter=3, interpret=True))
+    want_a = np.asarray(fast_global_smoother(jnp.asarray(a),
+                                             jnp.asarray(guide), 8000.0, 8.0, 3))
+    want_b = np.asarray(fast_global_smoother(jnp.asarray(b),
+                                             jnp.asarray(guide), 8000.0, 8.0, 3))
+    np.testing.assert_allclose(got[0], want_a, rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(got[1], want_b, rtol=1e-3, atol=2e-4)
+
+
+def test_fgs_pallas_padded_shapes():
+    """Padding rows/lanes must not perturb the solve (decoupled chain)."""
+    from stereo_match_tpu.ops.pallas_wls import fast_global_smoother_pallas
+    rng = np.random.default_rng(4)
+    for H_, W_ in [(8, 128), (9, 130), (16, 127)]:
+        guide = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
+        a = rng.normal(size=(H_, W_)).astype(np.float32)
+        got = np.asarray(fast_global_smoother_pallas(
+            jnp.asarray(a)[None], jnp.asarray(guide), 1000.0, 4.0,
+            num_iter=2, interpret=True))[0]
+        want = np.asarray(fast_global_smoother(jnp.asarray(a),
+                                               jnp.asarray(guide),
+                                               1000.0, 4.0, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
