@@ -229,3 +229,39 @@ def test_fgs_pallas_padded_shapes():
                                                jnp.asarray(guide),
                                                1000.0, 4.0, 2))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_speckle_pallas_matches_xla():
+    """Pallas speckle (interpret mode) removes exactly the same pixels as
+    the XLA associative-scan + segment_sum reference."""
+    from stereo_match_tpu.ops.pallas_speckle import speckle_filter_pallas
+    rng = np.random.default_rng(11)
+    for H_, W_ in [(40, 130), (17, 33), (23, 257)]:
+        d = rng.normal(10, 0.2, (H_, W_)).astype(np.float32)
+        d[rng.uniform(size=d.shape) < 0.25] = np.nan
+        d[rng.uniform(size=d.shape) < 0.1] += 50
+        for T in (5, 30):
+            want = np.asarray(speckle_filter(jnp.asarray(d), T, 1.0))
+            got = np.asarray(speckle_filter_pallas(jnp.asarray(d), T, 1.0,
+                                                   interpret=True))
+            np.testing.assert_array_equal(np.isfinite(got),
+                                          np.isfinite(want))
+            np.testing.assert_array_equal(got[np.isfinite(got)],
+                                          want[np.isfinite(want)])
+
+
+def test_speckle_pallas_cyclic_blobs():
+    """Small blobs containing cycles (2x2 blocks, rings) must still be
+    counted exactly (the spanning-tree delivery handles cycles; pure
+    leaf-peeling would not)."""
+    from stereo_match_tpu.ops.pallas_speckle import speckle_filter_pallas
+    d = np.full((24, 140), np.nan, np.float32)
+    d[2:4, 2:4] = 7.0            # 2x2 block: size 4
+    d[8:13, 8:13] = 7.0          # 5x5 block minus center: ring with hole
+    d[10, 10] = np.nan           # size 24
+    d[16:22, 100:120] = 7.0      # 6x20 = 120: large, keep
+    for T in (5, 25, 100):
+        want = np.asarray(speckle_filter(jnp.asarray(d), T, 1.0))
+        got = np.asarray(speckle_filter_pallas(jnp.asarray(d), T, 1.0,
+                                               interpret=True))
+        np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
