@@ -30,9 +30,13 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+VMEM_LIMIT = 100 * 2 ** 20   # raised scoped-VMEM cap (v5e has headroom
+                             # well past the 16 MB default; measured)
+
+
 def _fit_tile_n(requested: int, N: int, D: int, s_blk: int, itemsize: int,
                 n_bufs: int, n_scratch: int,
-                budget: int = 13 * 2 ** 20) -> int:
+                budget: int = 44 * 2 ** 20) -> int:
     """Largest multiple-of-128 tile_n <= requested that fits scoped VMEM.
 
     Footprint model: ``n_bufs`` double-buffered (D, s_blk, tile_n) blocks
@@ -55,7 +59,13 @@ def _fit_tile_n(requested: int, N: int, D: int, s_blk: int, itemsize: int,
         # scan3-accum compiles at tile 256; init-scan OOMs at 256 with a
         # 20.7 MB stack). Empirical caps per variant:
         cap = min(cap, 256 if n_bufs >= 3 else 128)
-    cap = max(128, min(requested, cap, _cdiv(N, 128) * 128))
+    full = _cdiv(N, 128) * 128
+    # Prefer one full-width tile whenever the budget allows, even above
+    # ``requested``: a single tile makes the fused diagonal scans
+    # seam-free (no carry resets at internal lane-tile boundaries).
+    if itemsize == 4 and full <= cap:
+        return full
+    cap = max(128, min(requested, cap, full))
     # among fitting tiles, minimize the padded extent n_tiles * tile_n —
     # the kernels do real work on pad lanes (at KITTI W=1242 the 512 cap
     # pads to 1536 while 256 pads to 1280: 17% of every pass wasted);
@@ -236,7 +246,8 @@ def sgm_scan_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     if return_carry:
@@ -424,10 +435,11 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16
-    # Tighter budget than the plain scans: the 8-row stats reduction needs
-    # substantial stack headroom (22.5 MB at tile 512 on hardware).
+    # The stats reduction needs ~1.7x the model's stack estimate (22.5 MB
+    # at tile 512 measured round 2); with the raised vmem_limit_bytes a
+    # 34 MB model budget admits the full-width 1280 tile (~56 MB real).
     tile_n = _fit_tile_n(tile_n, N, D, s_blk, cost.dtype.itemsize,
-                         n_bufs=3, n_scratch=3, budget=8 * 2 ** 20)
+                         n_bufs=3, n_scratch=3, budget=34 * 2 ** 20)
     n_tiles = _cdiv(N, tile_n)
     pad_n = n_tiles * tile_n - N
     n_sblocks = _cdiv(S, s_blk)
@@ -461,7 +473,8 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
         input_output_aliases={1: 0},
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(cost, accum)
     total = outs[0][:, :S, :N]
@@ -546,7 +559,8 @@ def sgm_scan3_pallas(cost: jnp.ndarray, accum: jnp.ndarray | None,
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(*operands)
     if return_carry:
@@ -569,10 +583,11 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
     for the horizontal directions, and a fwd/rev pair of *fused* scans for
     vertical + both diagonals (three carries per pass, diagonals as
     lane-shifted carries — no shear gathers). Bit-identical to
-    ``ops.sgm.sgm_aggregate`` whenever W fits one N-tile (tests); for wider
-    volumes, internal N-tile boundaries act as frame edges for the
-    *diagonal* paths only (numerically invisible; see parallel/tiling.py
-    halo discussion for the same argument).
+    ``ops.sgm.sgm_aggregate`` whenever W fits one N-tile — which, with
+    the raised VMEM budget, includes full KITTI width (tile 1280 >=
+    W=1242; tests/test_pallas.py::test_full_kitti_width_bit_parity). For
+    still-wider volumes, internal N-tile boundaries act as frame edges
+    for the *diagonal* paths only (quality-tested).
     """
     if num_paths not in (2, 4, 8):
         raise ValueError("num_paths must be 2, 4 or 8")
@@ -704,7 +719,8 @@ def census_volume_pallas(cl: jnp.ndarray, cr: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((num_disparities, cl.shape[1], wp),
                                        jnp.dtype(dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(cl, cr)
     return out[:, :H, :W]
@@ -788,7 +804,8 @@ def census_volume_T_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((num_disparities, clT.shape[1], hp),
                                        jnp.dtype(dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(clT, crT)
     return out[:, :W, :H]
@@ -863,7 +880,8 @@ def right_wta_pallas(agg: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, agg.shape[1], wp), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(agg)
     return idx[0, :H, :W]
@@ -956,7 +974,8 @@ def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 640,
         out_specs=(map_spec,) * 5,
         out_shape=shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(agg)
     return tuple(o[0, :H, :W] for o in outs)

@@ -204,3 +204,24 @@ def test_aggregate_wta_fused_stats(rng, dtype):
     np.testing.assert_array_equal(np.asarray(agg_ref), np.asarray(agg))
     for a, b in zip(stats_ref, stats):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_kitti_width_bit_parity(rng):
+    """At production width W=1242 the (raised-VMEM-budget) fitter now
+    picks one full-width 1280-lane tile, so the fused diagonal scans have
+    NO internal seams: Pallas == XLA bit-exactly, including both
+    diagonal pairs and the fused-stats last pass."""
+    from stereo_match_tpu.ops.pallas_kernels import (_fit_tile_n,
+                                                     sgm_aggregate_wta_pallas,
+                                                     wta_stats_pallas)
+    assert _fit_tile_n(640, 1242, 128, 8, 4, n_bufs=3, n_scratch=3) == 1280
+    D, H, W = 128, 16, 1242
+    vol = jnp.asarray(
+        rng.integers(0, 900, (D, H, W)).astype(np.float32))
+    a = np.asarray(sgm_aggregate(vol, 8.0, 96.0, 8))
+    total, stats = sgm_aggregate_wta_pallas(vol, 8.0, 96.0, 8,
+                                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(total), a)
+    ref_stats = wta_stats_pallas(jnp.asarray(a), interpret=True)
+    for got, want in zip(stats, ref_stats):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
