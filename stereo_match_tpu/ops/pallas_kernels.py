@@ -979,3 +979,180 @@ def wta_stats_pallas(agg: jnp.ndarray, tile_n: int = 640,
         interpret=interpret,
     )(agg)
     return tuple(o[0, :H, :W] for o in outs)
+
+
+def _mccnn_vol_kernel(fl_ref, fr_ref, out_ref, *, d_levels, min_disparity,
+                      scale):
+    """(F, s_blk, Wp) feature blocks -> (D, s_blk, Wp) MC-CNN cost block.
+
+    Same incremental-lane-roll structure as ``_census_vol_kernel`` with
+    the Hamming popcount replaced by the feature dot product: the XLA
+    unrolled builder re-reads both full (F, H, W) feature maps once per
+    disparity plane (~30 GB of HBM traffic at KITTI shape, ~37 ms —
+    measured round 3); here each row block is read once and the 128
+    planes are produced from VMEM. Cost formula matches
+    ``models.mccnn.mccnn_cost_volume``: scale * (1 - <fl, fr(x-d)>) / 2,
+    INVALID_COST where x < d.
+    """
+    fl = fl_ref[:]
+    fr = fr_ref[:]
+    shape = fl.shape[1:]
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    invalid = jnp.full(shape, 1e4, jnp.float32)
+    if min_disparity:
+        fr = pltpu.roll(fr, min_disparity, axis=2)
+
+    def body(i, fr_roll):
+        d = min_disparity + i
+        sim = jnp.sum(fl * fr_roll, axis=0)
+        cost = scale * (1.0 - sim) * 0.5
+        cost = jnp.where(col < d, invalid, cost)
+        out_ref[pl.dslice(i, 1)] = cost[None].astype(out_ref.dtype)
+        return pltpu.roll(fr_roll, 1, axis=2)
+
+    jax.lax.fori_loop(0, d_levels, body, fr)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities",
+                                             "min_disparity", "scale",
+                                             "interpret"))
+def mccnn_volume_pallas(fl: jnp.ndarray, fr: jnp.ndarray,
+                        num_disparities: int, min_disparity: int = 0,
+                        scale: float = 24.0,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Feature maps (F, H, W) -> (D, H, W) learned-cost volume.
+
+    Pallas fast path of ``models.mccnn.mccnn_cost_volume``'s volume stage
+    (numerically equal up to f32 reduction order, tested). Requires
+    ``min_disparity >= 0``.
+    """
+    if min_disparity < 0:
+        raise ValueError("mccnn_volume_pallas needs min_disparity >= 0")
+    F, H, W = fl.shape
+    s_blk = 8
+    wp = _cdiv(W, 128) * 128
+    n_sblocks = _cdiv(H, s_blk)
+    pad_s = n_sblocks * s_blk - H
+    if wp - W or pad_s:
+        pads = ((0, 0), (0, pad_s), (0, wp - W))
+        fl = jnp.pad(fl, pads)
+        fr = jnp.pad(fr, pads)
+    in_spec = pl.BlockSpec((F, s_blk, wp), lambda s: (0, s, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((num_disparities, s_blk, wp), lambda s: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mccnn_vol_kernel, d_levels=num_disparities,
+                          min_disparity=min_disparity, scale=float(scale)),
+        grid=(n_sblocks,),
+        in_specs=[in_spec, in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_disparities, fl.shape[1], wp),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(fl, fr)
+    return out[:, :H, :W]
+
+
+def _mccnn_vol_mxu_kernel(fl_ref, frp_ref, out_ref, *, d_levels, scale,
+                          w_true):
+    """MXU Gram-band MC-CNN volume: out (D, s_blk, Wp), planes REVERSED.
+
+    Per (row k, x-tile t, d-block db): one (128, F) x (F, 256) matmul
+    computes the Gram block G[x_rel, c] = <fl(x), fr(j)> over the
+    aligned window j in [(t-1-db)*128, (t+1-db)*128); the diagonal band
+    j = x - d is extracted by a log-step shear (7 masked lane rolls:
+    G2[x, c] = G[x, c + x + 1]) followed by one (128, 128) transpose.
+    The shear's natural output order is d' = 127 - dd, so the kernel
+    writes planes reversed and the wrapper flips the D axis once in XLA.
+
+    The VPU variant (``_mccnn_vol_kernel``) costs ~15 ms/frame at KITTI
+    shape (2*F ops per output element); this one moves the F-contraction
+    to the MXU (~16 GFLOP total) — the roll/transpose overhead is the
+    remaining cost. Inputs are cast to bf16 for the matmul (features are
+    L2-normalized; ~1e-2 product error, inside the SGM P1/P2 scale).
+    """
+    k_rows = fl_ref.shape[1]
+    wp = fl_ref.shape[2]
+    n_tiles = wp // 128
+    n_dblocks = d_levels // 128
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)  # d' rows
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    for k in range(k_rows):
+        for t in range(n_tiles):
+            A = fl_ref[:, k, t * 128:(t + 1) * 128].astype(jnp.bfloat16)
+            for db in range(n_dblocks):
+                # window j in [(t-1-db)*128, (t+1-db)*128); frp coords are
+                # j + 128 (front pad), so the slice starts at (t-db)*128
+                w0 = (t - db) * 128
+                if w0 < 0:
+                    # whole window left of the frame: all masked invalid
+                    out_ref[pl.dslice((n_dblocks - 1 - db) * 128, 128),
+                            k, t * 128:(t + 1) * 128] = \
+                        jnp.full((128, 128), 1e4, out_ref.dtype)
+                    continue
+                B = frp_ref[:, k, w0:w0 + 256].astype(jnp.bfloat16)
+                G = jax.lax.dot_general(
+                    A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (128, 256)
+                # shear: G2[x, c] = G[x, (c + x + 1) % 256]
+                G2 = pltpu.roll(G, 255, axis=1)           # c + 1
+                for b in (1, 2, 4, 8, 16, 32, 64):
+                    rolled = pltpu.roll(G2, 256 - b, axis=1)
+                    G2 = jnp.where((row128 & b) != 0, rolled, G2)
+                Mp = G2[:, 0:128]                         # (x_rel, d'=127-dd)
+                Md = Mp.T                                 # (d', x_rel)
+                cost = scale * (1.0 - Md) * 0.5
+                # mask x < d  (d = db*128 + 127 - d')
+                x_glob = x_iota + t * 128
+                d_glob = db * 128 + 127 - d_iota
+                cost = jnp.where(x_glob < d_glob,
+                                 jnp.full((), 1e4, jnp.float32), cost)
+                # plane index in REVERSED order: i' = D-1-d = D-1-db*128-127+d'
+                base = (n_dblocks - 1 - db) * 128
+                out_ref[pl.dslice(base, 128), k,
+                        t * 128:(t + 1) * 128] = cost.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "scale",
+                                             "interpret"))
+def mccnn_volume_mxu_pallas(fl: jnp.ndarray, fr: jnp.ndarray,
+                            num_disparities: int, scale: float = 24.0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """MXU fast path of :func:`mccnn_volume_pallas` (min_disparity = 0,
+    D a multiple of 128). Same output up to bf16-matmul precision."""
+    if num_disparities % 128:
+        raise ValueError("MXU MC-CNN builder needs D % 128 == 0")
+    F, H, W = fl.shape
+    s_blk = 8
+    wp = _cdiv(W, 128) * 128
+    n_sblocks = _cdiv(H, s_blk)
+    pad_s = n_sblocks * s_blk - H
+    fl = jnp.pad(fl, ((0, 0), (0, pad_s), (0, wp - W)))
+    # fr: pad 128 lanes on each side so every tile's 256-wide Gram
+    # window (j in [(t-1)*128, (t+1)*128)) stays in-bounds
+    fr = jnp.pad(fr, ((0, 0), (0, pad_s), (128, wp - W + 128)))
+    in_spec = pl.BlockSpec((F, s_blk, wp), lambda s: (0, s, 0),
+                           memory_space=pltpu.VMEM)
+    inp_spec = pl.BlockSpec((F, s_blk, wp + 256), lambda s: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((num_disparities, s_blk, wp), lambda s: (0, s, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mccnn_vol_mxu_kernel, d_levels=num_disparities,
+                          scale=float(scale), w_true=W),
+        grid=(n_sblocks,),
+        in_specs=[in_spec, inp_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((num_disparities, fl.shape[1], wp),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(fl, fr)
+    return out[::-1, :H, :W]

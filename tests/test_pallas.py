@@ -225,3 +225,50 @@ def test_full_kitti_width_bit_parity(rng):
     ref_stats = wta_stats_pallas(jnp.asarray(a), interpret=True)
     for got, want in zip(stats, ref_stats):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mccnn_volume_pallas_matches_xla(rng):
+    """Pallas MC-CNN volume builder vs the unrolled XLA build: equal up
+    to f32 reduction-order ulps."""
+    from stereo_match_tpu.ops.cost_volume import (INVALID_COST,
+                                                  _invalid_mask,
+                                                  _shift_plane)
+    from stereo_match_tpu.ops.pallas_kernels import mccnn_volume_pallas
+    F, H, W = 16, 12, 150
+    fl = jnp.asarray(rng.normal(size=(F, H, W)).astype(np.float32))
+    fr = jnp.asarray(rng.normal(size=(F, H, W)).astype(np.float32))
+    for min_d in (0, 3):
+        D = 16
+        got = np.asarray(mccnn_volume_pallas(fl, fr, D, min_d, scale=24.0,
+                                             interpret=True))
+
+        def plane(d):
+            sim = jnp.sum(fl * _shift_plane(fr, d), axis=0)
+            return 24.0 * (1.0 - sim) * 0.5
+
+        vol = jnp.stack([plane(min_d + i) for i in range(D)], axis=0)
+        mask = _invalid_mask(W, D, min_d)
+        want = np.asarray(jnp.where(mask, INVALID_COST, vol))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_mccnn_volume_mxu_matches_vpu(rng):
+    """MXU Gram-band builder vs the VPU roll builder: equal up to bf16
+    matmul precision on L2-normalized features."""
+    from stereo_match_tpu.ops.pallas_kernels import (mccnn_volume_mxu_pallas,
+                                                     mccnn_volume_pallas)
+    F, H, W = 16, 10, 300
+    fl = rng.normal(size=(F, H, W)).astype(np.float32)
+    fr = rng.normal(size=(F, H, W)).astype(np.float32)
+    fl /= np.linalg.norm(fl, axis=0, keepdims=True)
+    fr /= np.linalg.norm(fr, axis=0, keepdims=True)
+    D = 128
+    want = np.asarray(mccnn_volume_pallas(jnp.asarray(fl), jnp.asarray(fr),
+                                          D, 0, scale=24.0, interpret=True))
+    got = np.asarray(mccnn_volume_mxu_pallas(jnp.asarray(fl),
+                                             jnp.asarray(fr), D,
+                                             scale=24.0, interpret=True))
+    # invalid cells exactly equal; valid cells within bf16 product error
+    inv = want >= 1e4
+    np.testing.assert_array_equal(got[inv], want[inv])
+    np.testing.assert_allclose(got[~inv], want[~inv], atol=0.15)
