@@ -272,6 +272,50 @@ def cmd_mono(args) -> int:
     return 0
 
 
+def cmd_costbin(args) -> int:
+    """External cost volume (.bin) -> SGM/WLS disparity -> Q -> PLY.
+
+    End-to-end parity with the reference's only inter-process hand-off
+    (``mapTo3D_mc_cnn.py:68-159``): memmap the (1, D, W, H) float32 dump
+    an external matcher wrote, aggregate/extract/WLS-refine, reproject
+    through the f=1164-style Q, and write the point cloud.
+    """
+    from stereo_match_tpu.core.reproject import make_q_matrix, \
+        reproject_image_to_3d
+    from stereo_match_tpu.data.costbin import (external_volume_to_disparity,
+                                               read_cost_bin)
+    from stereo_match_tpu.data.image import image_read, image_save, \
+        to_grayscale
+    from stereo_match_tpu.data.ply import write_ply
+    from stereo_match_tpu.viz.plots import colorize_disparity
+    vol = read_cost_bin(args.bin, args.disp_max, args.width, args.height)
+    guide = color = None
+    if args.left:
+        color = image_read(args.left)
+        guide = to_grayscale(color).astype(np.float32)
+    disp = external_volume_to_disparity(
+        vol, p1=args.p1, p2=args.p2, num_paths=args.num_paths,
+        guide=None if args.no_wls else guide,
+        lmbda=args.lmbda, sigma=args.sigma)
+    image_save(args.disp_out, colorize_disparity(disp))
+    np.save(args.disp_out + ".npy", disp)
+    H, W = disp.shape
+    cx = args.cx if args.cx is not None else W / 2
+    cy = args.cy if args.cy is not None else H / 2
+    Q = make_q_matrix(args.focal, cx, cy, -args.baseline)
+    pts = np.asarray(reproject_image_to_3d(disp, Q))
+    finite = np.isfinite(disp)
+    mask = finite & (disp > np.nanmin(disp))   # reference mask :150
+    if color is None:
+        color = np.full((H, W, 3), 200, np.uint8)
+    elif color.ndim == 2:
+        color = np.stack([color] * 3, axis=-1)
+    n = write_ply(args.ply_out, pts[mask], color[mask], binary=True)
+    print(f"disparity -> {args.disp_out}, cloud -> {args.ply_out} ({n} pts, "
+          f"density {finite.mean():.2%})")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import bench
     bench.main()
@@ -370,6 +414,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "inferred from the checkpoint's parameter shapes)")
     o.add_argument("--output", default="mono_disparity.png")
     o.set_defaults(fn=cmd_mono)
+
+    c = sub.add_parser("costbin", help="external cost volume (.bin) -> "
+                       "disparity + PLY (mapTo3D_mc_cnn parity)")
+    c.add_argument("bin", help="float32 (1, D, W, H) dump, e.g. left.bin")
+    c.add_argument("--disp-max", type=int, default=228,
+                   help="D of the dump (mc_cnn/script.py: -disp_max 228)")
+    c.add_argument("--width", type=int, default=1280)
+    c.add_argument("--height", type=int, default=720)
+    c.add_argument("--left", default=None,
+                   help="left image: WLS guide + PLY colors")
+    c.add_argument("--p1", type=float, default=8.0)
+    c.add_argument("--p2", type=float, default=96.0)
+    c.add_argument("--num-paths", type=int, default=8)
+    c.add_argument("--no-wls", action="store_true")
+    c.add_argument("--lmbda", type=float, default=80000.0)
+    c.add_argument("--sigma", type=float, default=1.2)
+    c.add_argument("--focal", type=float, default=1164.0)
+    c.add_argument("--cx", type=float, default=None)
+    c.add_argument("--cy", type=float, default=None)
+    c.add_argument("--baseline", type=float, default=22.0)
+    c.add_argument("--disp-out", default="costbin_disparity.png")
+    c.add_argument("--ply-out", default="out4.ply")
+    c.set_defaults(fn=cmd_costbin)
 
     k = sub.add_parser("benchmark", help="fps benchmark (one JSON line)")
     k.set_defaults(fn=cmd_benchmark)

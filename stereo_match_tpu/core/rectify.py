@@ -304,14 +304,29 @@ def rectify_pair(pose_l: np.ndarray, pose_r: np.ndarray,
                  image_l: jnp.ndarray, image_r: jnp.ndarray,
                  alpha: float = -1.0,
                  dist_l: np.ndarray | None = None,
-                 dist_r: np.ndarray | None = None):
+                 dist_r: np.ndarray | None = None,
+                 check: bool = True):
     """End-to-end pair rectification from camera-to-world poses.
 
     Capability parity with ``stereo_vision/stereo_vision.py:50-129`` (and its
     alpha variants at ``disparity_calculation.py:184`` /
     ``rectified_img_cal.py:230``). Returns (rect_l, rect_r, result).
+
+    ``check``: run the reference's epipole validity gate first
+    (``check_epipoles``, ``stereo_vision/stereo_vision.py:12-47``) and
+    raise ``ValueError`` when an epipole falls inside an image — e.g. a
+    forward-motion pair, which planar rectification cannot handle (the
+    warp would wrap around the epipole). Pass ``check=False`` to force.
     """
     h, w = np.asarray(image_l).shape[:2]
+    if check:
+        from stereo_match_tpu.core.camera import check_epipoles
+        if not check_epipoles(K_l, K_r, pose_l, pose_r, (h, w)):
+            raise ValueError(
+                "epipole falls inside an image (forward/backward motion "
+                "pair): planar rectification is degenerate for this "
+                "geometry. Capture with lateral baseline, or pass "
+                "check=False to attempt it anyway.")
     R, t = relative_pose(pose_l, pose_r)
     result = stereo_rectify(K_l, K_r, (w, h), R, t,
                             dist_l=dist_l, dist_r=dist_r, alpha=alpha)

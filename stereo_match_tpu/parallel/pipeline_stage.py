@@ -146,13 +146,31 @@ class StreamingPipeline:
     Frame t's disparity emerges ``n_stages - 1`` steps after it is fed;
     :meth:`run` handles the fill/flush bookkeeping. State (the S in-flight
     activations) lives sharded on the devices between steps.
+
+    ``payload_dtype="int16"`` halves the per-hop ICI payload (477 -> 238
+    MB at KITTI shape), bit-exactly for census costs with integral P1/P2
+    — see docs/architecture.md "ICI budget of the streaming stage
+    pipeline".
     """
 
     def __init__(self, config: DisparityConfig, mesh: Mesh,
                  image_shape: tuple[int, int], axis: str = "stage",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 payload_dtype: str = "float32"):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
+        if payload_dtype not in ("float32", "int16"):
+            raise ValueError("payload_dtype must be float32 or int16")
+        if payload_dtype == "int16":
+            # int16 hops are bit-exact only for bounded-integer costs and
+            # totals — the same condition config.py validates for int16
+            # volumes (census costs <= 1024, integral P1/P2, path sums
+            # inside int16); this halves the per-hop ICI payload (see
+            # docs/architecture.md "ICI budget")
+            if config.cost != "census" or \
+                    config.P1 != int(config.P1) or config.P2 != int(config.P2):
+                raise ValueError("int16 payload needs census cost and "
+                                 "integral P1/P2")
         self.config = config
         self.mesh = mesh
         self.axis = axis
@@ -164,6 +182,7 @@ class StreamingPipeline:
                                   interpret)
         S = self.n_stages
         axis_name = axis
+        wire_dt = jnp.int16 if payload_dtype == "int16" else jnp.float32
 
         fwd = [(k, k + 1) for k in range(S - 1)]
 
@@ -172,9 +191,11 @@ class StreamingPipeline:
             # S-1's WLS guides on *its* frame, not the one being fed now)
             i = jax.lax.axis_index(axis_name)
             my_left = jnp.where(i == 0, left, lstate[0])
-            payload, out = jax.lax.switch(i, branches, state[0], my_left,
-                                          right)
-            return (jax.lax.ppermute(payload, axis_name, fwd)[None],
+            payload, out = jax.lax.switch(i, branches,
+                                          state[0].astype(jnp.float32),
+                                          my_left, right)
+            return (jax.lax.ppermute(payload.astype(wire_dt), axis_name,
+                                     fwd)[None],
                     jax.lax.ppermute(my_left, axis_name, fwd)[None],
                     out[None])
 
@@ -188,6 +209,7 @@ class StreamingPipeline:
                             check_vma=False)
         self._step = jax.jit(stepped, donate_argnums=(0, 1))
         self._shapes = (S, 2, D * H * W)
+        self._wire_dt = wire_dt
         self.reset()
 
     def reset(self) -> None:
@@ -195,7 +217,7 @@ class StreamingPipeline:
         pipeline instance can stream several independent sequences)."""
         S, two, DHW = self._shapes
         H, W = self.image_shape
-        self._state = jnp.zeros((S, two, DHW), jnp.float32)
+        self._state = jnp.zeros((S, two, DHW), self._wire_dt)
         self._lstate = jnp.zeros((S, H, W), jnp.float32)
         self._fed = 0
 

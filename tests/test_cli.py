@@ -104,3 +104,33 @@ def test_match_method_variants(tmp_path):
         disp = np.load(out + ".npy")
         assert disp.shape == (48, 64)
         assert np.isfinite(disp).mean() > 0.5
+
+
+def test_costbin_cli_end_to_end(tmp_path, rng):
+    """smt costbin: synthetic .bin (write_cost_bin round-trip) -> SGM/WLS
+    -> Q -> PLY, reproducing mapTo3D_mc_cnn.py:68-159."""
+    from stereo_match_tpu.data.costbin import write_cost_bin
+    from stereo_match_tpu.data.ply import read_ply
+    from stereo_match_tpu.ops.cost_volume import build_cost_volume
+    H, W, D = 32, 64, 16
+    gt = box_scene(H, W, 3.0, 9.0)
+    left, right = random_dot_pair(H, W, gt, blur=0.8, seed=5)
+    vol = np.asarray(build_cost_volume(left, right, D))
+    bin_path = tmp_path / "left.bin"
+    write_cost_bin(str(bin_path), vol)
+    left_png = tmp_path / "left.png"
+    image_save(str(left_png), left.astype(np.uint8))
+    disp_out = tmp_path / "d.png"
+    ply_out = tmp_path / "cloud.ply"
+    rc = main(["costbin", str(bin_path), "--disp-max", str(D),
+               "--width", str(W), "--height", str(H),
+               "--left", str(left_png),
+               "--focal", "300", "--baseline", "0.5",
+               "--disp-out", str(disp_out), "--ply-out", str(ply_out)])
+    assert rc == 0
+    disp = np.load(str(disp_out) + ".npy")
+    assert disp.shape == (H, W)
+    err = np.abs(disp - gt)[np.isfinite(disp)]
+    assert np.median(err) < 1.5, np.median(err)
+    pts, cols = read_ply(str(ply_out))
+    assert len(pts) > 100

@@ -94,3 +94,17 @@ def test_run_is_reusable():
     for (r1, f1), (r2, f2) in zip(first, second):
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(f1, f2)
+
+
+def test_int16_payload_bit_parity():
+    """int16 hop payload (half the ICI traffic) must be bit-exact for
+    census costs with integral P1/P2 (bounded-integer totals)."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(2)
+    frames = _frames(3, seed0=77)
+    ref = StreamingPipeline(cfg, mesh, image_shape=(H, W)).run(frames)
+    got = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            payload_dtype="int16").run(frames)
+    for (r1, f1), (r2, f2) in zip(ref, got):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)

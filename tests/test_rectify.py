@@ -173,3 +173,20 @@ def test_check_epipoles():
     pose_fwd = np.eye(4)
     pose_fwd[:3, 3] = [0, 0, -0.5]  # camera moving along optical axis: epipole in view
     assert not check_epipoles(K, K, pose_l, pose_fwd, (240, 320))
+
+
+def test_rectify_pair_rejects_forward_motion():
+    """The epipole gate (reference stereo_vision.py:12-47) must reject a
+    forward-motion pair, where planar rectification is degenerate."""
+    import pytest
+    from stereo_match_tpu.core.rectify import rectify_pair
+    K = np.array([[200.0, 0, 64], [0, 200.0, 48], [0, 0, 1]])
+    pose_l = np.eye(4)
+    pose_r = np.eye(4)
+    pose_r[2, 3] = 1.0          # translation along the optical axis
+    img = np.zeros((96, 128), np.float32)
+    with pytest.raises(ValueError, match="epipole"):
+        rectify_pair(pose_l, pose_r, K, K, img, img)
+    # check=False forces through (maps computed, shapes intact)
+    rl, rr, res = rectify_pair(pose_l, pose_r, K, K, img, img, check=False)
+    assert np.asarray(rl).shape == img.shape
