@@ -58,3 +58,36 @@ def test_production_settings_speckle_on_parity():
     rep = parity_report("box+speckle", gt, np.asarray(ours), ref)
     assert rep["bad3_delta"] <= 0.02, rep
     assert rep["density_delta"] >= -0.10, rep
+
+
+@pytest.mark.parametrize("name,gt_fn,adv_kw", [
+    ("textureless", lambda: slanted_scene(H, W, 4.0, 44.0),
+     dict(flat_bands=4, flat_width=0.07)),
+    ("periodic", lambda: box_scene(H, W, background=6.0, foreground=28.0),
+     dict(periodic_bands=3, period=16)),
+    ("photometric", lambda: slanted_scene(H, W, 4.0, 44.0),
+     dict(gain=1.18, bias=12.0, vignette=0.35, noise_left=4.0,
+          noise_right=10.0)),
+    ("occl_mixed", lambda: __import__(
+        "stereo_match_tpu.data.synthetic", fromlist=["multi_box_scene"]
+    ).multi_box_scene(H, W, background=6.0,
+                      boxes=((0.1, 0.15, 0.35, 0.45, 30.0),
+                             (0.55, 0.5, 0.85, 0.9, 44.0),
+                             (0.2, 0.6, 0.45, 0.8, 20.0))),
+     dict(flat_bands=2, periodic_bands=1, period=12, gain=1.1,
+          noise_left=5.0, noise_right=5.0)),
+])
+def test_adversarial_scenes_bad3_parity(name, gt_fn, adv_kw):
+    """The 2-point bad-3px bound must hold on ADVERSARIAL scenes too:
+    textureless bands, periodic facades, photometric asymmetry, and
+    occlusion-heavy mixes (VERDICT round 2 #2 — the round-2 scenes were
+    the census-friendly ideal case)."""
+    from stereo_match_tpu.data.synthetic import adversarial_pair
+    gt = gt_fn()
+    left, right = adversarial_pair(H, W, gt, blur=1.0, seed=11, **adv_kw)
+    cfg = _production_cfg()
+    ours, _ = StereoMatcher(cfg)(left, right)
+    ref = opencv_sgbm_disparity(left, right, cfg, mode="hh")
+    rep = parity_report(name, gt, np.asarray(ours), ref)
+    assert rep["bad3_delta"] <= 0.02, rep
+    assert rep["density_delta"] >= -0.10, rep

@@ -26,11 +26,36 @@ H, W = 64, 96
 
 
 def _scene(seed, noise=0.0):
+    """One training/eval scene; seed selects a (geometry, renderer) mix.
+
+    Round-3 diversification (VERDICT round 2 #6): geometry alternates
+    rough terrain / boxes-on-terrain at varying roughness, and the
+    renderer alternates shaded random dots (high-frequency texture) with
+    the smooth shaded-shapes family (low-frequency blobs + gradients) —
+    the latter gives the photometric loss a smooth basin and carries the
+    shading + texture-gradient monocular cues at larger spatial scale.
+    """
     import numpy as np
-    from stereo_match_tpu.data.synthetic import random_dot_pair, rough_scene
-    gt = rough_scene(H, W, seed, 2.0, 20.0, cell=12)
-    l, r = random_dot_pair(H, W, gt, blur=1.2, seed=seed, noise=noise,
-                           shading=0.8)
+    from stereo_match_tpu.data.synthetic import (multi_box_scene,
+                                                 random_dot_pair,
+                                                 rough_scene,
+                                                 shaded_shapes_pair)
+    rng = np.random.default_rng(seed)
+    cell = int(rng.choice([8, 12, 16, 20]))
+    gt = rough_scene(H, W, seed, 2.0, 20.0, cell=cell)
+    if seed % 3 == 2:   # drop boxes onto the terrain (occlusion cue)
+        box = multi_box_scene(H, W, background=0.0,
+                              boxes=((rng.uniform(0.1, 0.3),
+                                      rng.uniform(0.1, 0.4),
+                                      rng.uniform(0.5, 0.8),
+                                      rng.uniform(0.5, 0.9),
+                                      rng.uniform(6.0, 12.0)),))
+        gt = np.minimum(gt + box, 20.0).astype(np.float32)
+    if seed % 2 == 0:
+        l, r = random_dot_pair(H, W, gt, blur=1.2, seed=seed, noise=noise,
+                               shading=0.8)
+    else:
+        l, r = shaded_shapes_pair(H, W, gt, seed=seed)
     to3 = lambda im: np.repeat(im[..., None], 3, -1) / 255.0
     return to3(l).astype(np.float32), to3(r).astype(np.float32), gt
 
@@ -38,9 +63,10 @@ def _scene(seed, noise=0.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="small")
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--scenes", type=int, default=384)
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -51,7 +77,7 @@ def main():
 
     model = md.make_model(args.arch)
     params = md.init_params(model, jax.random.PRNGKey(0), (1, H, W, 3))
-    n_scenes = 64
+    n_scenes = args.scenes
     scenes = [_scene(s) for s in range(n_scenes)]
     rng = np.random.default_rng(0)
 
@@ -61,7 +87,9 @@ def main():
             yield (np.stack([scenes[i][0] for i in pick]),
                    np.stack([scenes[i][1] for i in pick]))
 
-    params, losses = md.train(model, params, batches(), args.lr)
+    import optax
+    sched = optax.cosine_decay_schedule(args.lr, args.steps, 0.05)
+    params, losses = md.train(model, params, batches(), sched)
     print(f"loss {losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
 
     out = args.output or md.default_checkpoint_path(args.arch)
@@ -71,7 +99,7 @@ def main():
 
     # held-out eval vs GT (affine calibration: mono depth is up-to-scale)
     corrs, epes, cal_epes, const_epes = [], [], [], []
-    for s in range(900, 904):
+    for s in range(900, 912):
         l, _, gt = _scene(s)
         pred = md.predict_disparity(model, params, l * 255.0)
         corrs.append(float(np.corrcoef(pred.ravel(), gt.ravel())[0, 1]))
