@@ -75,7 +75,11 @@ def _method_matcher(args, cfg):
     (``libelas/script.py``), MC-CNN (``mc_cnn/script.py``)."""
     method = args.method
     if method == "bm":
-        cfg = cfg.replace(cost="sad", num_paths=2, p1=0.0, p2=1e-3)
+        # true StereoBM semantics (x-Sobel prefilter, SAD WTA, texture
+        # threshold — oracle-tested vs cv2.StereoBM), matching the
+        # reference's fallback `stereo_vision/stereo_vision.py:165-166`
+        from stereo_match_tpu.pipeline.block_matching import BlockMatcher
+        return BlockMatcher(cfg), cfg
     if method == "elas":
         from stereo_match_tpu.pipeline.elas import elas_match
 

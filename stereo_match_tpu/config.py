@@ -34,9 +34,21 @@ class DisparityConfig:
     speckle_window_size: int = 0  # 0 disables speckle filtering
     speckle_range: int = 2
     pre_filter_cap: int = 63      # x-Sobel clamp for BT cost
+    # --- StereoBM-compatible parameters (cv2.StereoBM defaults; the
+    # reference's BM fallback `stereo_vision/stereo_vision.py:165-166`
+    # passes only numDisparities/blockSize and inherits these) ---
+    texture_threshold: int = 10   # min sum|sobel| over the SAD window
+    bm_pre_filter_cap: int = 31   # BM's own x-Sobel clamp (cv2 default)
     # --- WLS post-filter (reference settings.ini:21-23) ---
     lmbda: float = 80000.0
     sigma: float = 1.2
+    # OpenCV's DisparityWLSFilter weights the solve by an LR-consistency
+    # confidence computed from the left/right matcher pair
+    # (`stereo_vision/stereo_vision.py:171-183`). Off by default: on the
+    # synthetic suite the validity-only confidence is equivalent away from
+    # occlusions and the flag changes the filtered map's exact values
+    # (ACCURACY.json carries the measured occlusion-scene effect).
+    wls_lr_confidence: bool = False
     # --- TPU-native knobs (no reference equivalent) ---
     cost: str = "census"          # census | sad | bt | ssd | mccnn
     census_window: tuple[int, int] = (5, 5)

@@ -59,6 +59,37 @@ def opencv_sgbm_disparity(left: np.ndarray, right: np.ndarray,
     return np.where(fixed < cfg.min_disparity, np.nan, fixed)
 
 
+def opencv_bm_disparity(left: np.ndarray, right: np.ndarray,
+                        config=None) -> np.ndarray:
+    """Run cv2.StereoBM with a :class:`DisparityConfig`'s parameters.
+
+    The oracle for the BM fallback mode (reference
+    ``stereo_vision/stereo_vision.py:165-166`` creates the matcher with
+    numDisparities/blockSize only and inherits OpenCV defaults —
+    x-Sobel prefilter capped at 31, textureThreshold 10, uniqueness 15 —
+    which are the defaults of ``DisparityConfig``'s BM block). Returns
+    float32 disparity with NaN invalids.
+    """
+    import cv2
+
+    from stereo_match_tpu.config import DisparityConfig
+    cfg = config or DisparityConfig()
+    matcher = cv2.StereoBM_create(numDisparities=cfg.num_disparities,
+                                  blockSize=cfg.block_size)
+    matcher.setPreFilterType(cv2.STEREO_BM_PREFILTER_XSOBEL)
+    matcher.setPreFilterCap(cfg.bm_pre_filter_cap)
+    matcher.setTextureThreshold(cfg.texture_threshold)
+    matcher.setUniquenessRatio(cfg.uniqueness_ratio)
+    matcher.setMinDisparity(cfg.min_disparity)
+    matcher.setDisp12MaxDiff(cfg.disp12_max_diff)
+    matcher.setSpeckleWindowSize(cfg.speckle_window_size)
+    matcher.setSpeckleRange(cfg.speckle_range)
+    l8 = np.clip(np.asarray(left), 0, 255).astype(np.uint8)
+    r8 = np.clip(np.asarray(right), 0, 255).astype(np.uint8)
+    fixed = matcher.compute(l8, r8).astype(np.float32) / 16.0
+    return np.where(fixed < cfg.min_disparity, np.nan, fixed)
+
+
 def parity_report(scene_name: str, gt: np.ndarray, ours: np.ndarray,
                   cv2_disp: np.ndarray) -> dict:
     """Scorecards for both matchers + the deltas the target is stated on."""

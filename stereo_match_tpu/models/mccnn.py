@@ -88,18 +88,26 @@ _normalize_image = normalize_image  # backwards-compatible alias
 def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
                       left: jnp.ndarray, right: jnp.ndarray,
                       num_disparities: int, min_disparity: int = 0,
-                      scale: float = 24.0) -> jnp.ndarray:
+                      scale: float = 24.0,
+                      use_bf16: bool | None = None) -> jnp.ndarray:
     """(D, H, W) learned cost: scale * (1 - <f_L(x), f_R(x-d)>) / 2.
 
     ``scale`` puts the cost in the same dynamic range as the census
     Hamming cost (~descriptor bits) so the SGM P1/P2 defaults carry over.
+
+    ``use_bf16``: None (default) runs the feature convs in bfloat16 on
+    TPU (~2x MXU rate; params stay f32); False keeps the model's own
+    ``compute_dtype`` even on TPU (precision A/B, debugging the ~1e-2
+    bf16 drift); True forces bf16 compute on any backend.
     """
     from stereo_match_tpu.ops.cost_volume import (INVALID_COST, _invalid_mask,
                                                   _shift_plane)
+    from stereo_match_tpu.utils.backend import is_tpu_backend
     l = _normalize_image(left)[None, ..., None]
     r = _normalize_image(right)[None, ..., None]
-    if jax.default_backend() != "cpu" and model.compute_dtype == jnp.float32:
-        # bf16 convs on the accelerator (params still f32): ~2x MXU rate
+    on_tpu = is_tpu_backend()
+    want_bf16 = use_bf16 if use_bf16 is not None else on_tpu
+    if want_bf16 and model.compute_dtype == jnp.float32:
         model = MCCNNFeatures(features=model.features,
                               num_layers=model.num_layers,
                               kernel=model.kernel,
@@ -109,7 +117,7 @@ def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
     fl = jnp.moveaxis(fl, -1, 0)            # (F, H, W): planes layout
     fr = jnp.moveaxis(fr, -1, 0)
 
-    if jax.default_backend() != "cpu" and min_disparity >= 0:
+    if on_tpu and min_disparity >= 0:
         # Pallas fast path: each feature-row block read once from HBM and
         # all D planes produced from VMEM (the unrolled XLA build below
         # re-reads both full feature maps per plane: ~30 GB of traffic,

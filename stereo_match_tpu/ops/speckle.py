@@ -60,7 +60,8 @@ def speckle_filter(disparity: jnp.ndarray, max_speckle_size: int,
     """
     if max_speckle_size <= 0:
         return disparity
-    if jax.default_backend() != "cpu":
+    from stereo_match_tpu.utils.backend import is_tpu_backend
+    if is_tpu_backend():
         # Pallas fast path (same fixpoint, same sizes — tested): the XLA
         # associative_scan sweeps cost ~3.8 ms EACH on TPU and segment_sum
         # another ~10 ms; the VMEM-resident kernels run the whole filter

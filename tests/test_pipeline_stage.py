@@ -96,15 +96,46 @@ def test_run_is_reusable():
         np.testing.assert_array_equal(f1, f2)
 
 
-def test_int16_payload_bit_parity():
-    """int16 hop payload (half the ICI traffic) must be bit-exact for
-    census costs with integral P1/P2 (bounded-integer totals)."""
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_int16_payload_bit_parity(n_stages):
+    """int16 hop payload (half the ICI traffic) must be bit-exact vs an
+    f32 run with the same clamped invalid sentinel (1024) — the int16
+    mode's semantics. The 4-stage case is the one that overflowed with
+    the 1e4 sentinel (5 paths in flight at the stage-2->3 hop; advisor
+    round-3 high finding)."""
     cfg = _cfg()
-    mesh = make_stage_mesh(2)
-    frames = _frames(3, seed0=77)
-    ref = StreamingPipeline(cfg, mesh, image_shape=(H, W)).run(frames)
+    mesh = make_stage_mesh(n_stages)
+    frames = _frames(n_stages + 1, seed0=77)
+    ref = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            _invalid_clamp=1024.0).run(frames)
     got = StreamingPipeline(cfg, mesh, image_shape=(H, W),
                             payload_dtype="int16").run(frames)
     for (r1, f1), (r2, f2) in zip(ref, got):
         np.testing.assert_array_equal(r1, r2)
         np.testing.assert_array_equal(f1, f2)
+
+
+def test_int16_payload_interior_matches_f32_pipeline():
+    """The sentinel clamp may only change left-edge columns (x < d for
+    most d); interior disparities must equal the default f32 pipeline."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(2)
+    frames = _frames(2, seed0=91)
+    ref = StreamingPipeline(cfg, mesh, image_shape=(H, W)).run(frames)
+    got = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            payload_dtype="int16").run(frames)
+    for (r1, f1), (r2, f2) in zip(ref, got):
+        np.testing.assert_array_equal(r1[:, D:], r2[:, D:])
+        np.testing.assert_array_equal(f1[:, D:], f2[:, D:])
+
+
+def test_int16_payload_overflow_guard():
+    """The per-hop bound paths_in_flight*(1024+P2) < 2^15 must reject
+    configurations that would wrap on the wire."""
+    cfg = _cfg(p1=100, p2=7000)       # 5*(1024+7000) > 32768 at 4 stages
+    with pytest.raises(ValueError, match="overflow"):
+        StreamingPipeline(cfg, make_stage_mesh(4), image_shape=(H, W),
+                          payload_dtype="int16")
+    # 2-stage split only has 2 paths in flight: same config is legal
+    StreamingPipeline(cfg, make_stage_mesh(2), image_shape=(H, W),
+                      payload_dtype="int16")
