@@ -94,6 +94,16 @@ def all_configs() -> dict:
                            disp12_max_diff=1, speckle_window_size=0, wls=False)
     run("census_sgm8", base)
     run("sad_bm_wta", base.replace(cost="sad", num_paths=2, p1=1.0, p2=2.0))
+
+    # true StereoBM semantics (pipeline/block_matching.py, cv2.StereoBM
+    # oracle-parity tested) — XLA path, no SGM
+    from stereo_match_tpu.pipeline.block_matching import block_match
+    fps = _stream_fps(
+        lambda l, r: block_match(l, r, num_disparities=D, block_size=21,
+                                 disp12_max_diff=-1),
+        left, right, K=4, reps=2)
+    out["stereobm_true"] = round(fps, 2)
+    print(f"{'stereobm_true':32s} {fps:7.2f} fps", file=sys.stderr)
     run("bt_sgm8", base.replace(cost="bt"))
     run("census_sgm8_wls", base.replace(wls=True, wls_iters=3,
                                         lmbda=8000.0, sigma=8.0))
@@ -122,11 +132,46 @@ def all_configs() -> dict:
     return out
 
 
+def _traffic_model(configs: dict) -> dict:
+    """Analytic HBM-traffic audit per config (docs/architecture.md).
+
+    Volume = D*H*W f32 = 238 MB at KITTI shape. The SGM stage moves ~9
+    volume passes (h-fwd write, h-rev r+w aliased, transpose r+w, scan3
+    fwd r+w, scan3 rev+stats r+w ~ 9x) plus builder+WTA smalls; dividing
+    measured frame time into modeled bytes gives the effective bandwidth
+    so "is it fast" is auditable against the ~220 GB/s a single stream
+    sustains on this chip (v5e lite).
+    """
+    vol_gb = D * H * W * 4 / 1e9
+    # pass counts audit (238 MB volume units), census with the fused
+    # horizontal pair (volT never in HBM): vol build w(1) + h-fwd tot
+    # w(1) + h-rev tot r+w(2) + totT transpose r+w(2) + scan3 fwd
+    # vol r + tot r+w(3) + scan3-rev-stats(3) = 12. bt builds volT
+    # (15); mccnn adds the volT transpose instead of the census ring
+    # (16 incl. feature traffic rounded in).
+    passes = {"census_sgm8": 12.0, "bt_sgm8": 15.0, "mccnn_sgm8": 16.0,
+              "sad_bm_wta": 5.0}
+    out = {"volume_gb": round(vol_gb, 3), "model": "passes * volume_gb"}
+    for name, fps in configs.items():
+        base = name.split("+")[0]
+        for key, p in passes.items():
+            if name.startswith(key):
+                frame_s = 1.0 / fps
+                out[name] = {
+                    "modeled_passes": p,
+                    "modeled_gb": round(p * vol_gb, 2),
+                    "effective_gb_s": round(p * vol_gb / frame_s, 1)}
+                break
+    return out
+
+
 def main():
     import jax
     result = headline()
     if "--all" in sys.argv:
-        details = {"headline": result, "configs": all_configs(),
+        cfgs = all_configs()
+        details = {"headline": result, "configs": cfgs,
+                   "traffic_audit": _traffic_model(cfgs),
                    "device": str(jax.devices()[0])}
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

@@ -103,10 +103,18 @@ def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
     from stereo_match_tpu.ops.cost_volume import (INVALID_COST, _invalid_mask,
                                                   _shift_plane)
     from stereo_match_tpu.utils.backend import is_tpu_backend
-    l = _normalize_image(left)[None, ..., None]
-    r = _normalize_image(right)[None, ..., None]
     on_tpu = is_tpu_backend()
     want_bf16 = use_bf16 if use_bf16 is not None else on_tpu
+    if on_tpu and min_disparity == 0 and num_disparities % 128 == 0 \
+            and model.kernel == 3:
+        # fully fused Pallas path: activations never leave VMEM and the
+        # volume builder consumes the tower's flat slabs directly (the
+        # XLA conv tower alone measured ~7 ms/view at KITTI shape)
+        return mccnn_cost_volume_fused(
+            model, params, left, right, num_disparities, scale=scale,
+            compute_dtype=jnp.bfloat16 if want_bf16 else jnp.float32)
+    l = _normalize_image(left)[None, ..., None]
+    r = _normalize_image(right)[None, ..., None]
     if want_bf16 and model.compute_dtype == jnp.float32:
         model = MCCNNFeatures(features=model.features,
                               num_layers=model.num_layers,
@@ -129,6 +137,8 @@ def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
                                            scale=scale)
         return mccnn_volume_pallas(fl, fr, num_disparities, min_disparity,
                                    scale=scale)
+    # (the fully fused tower+volume path is mccnn_cost_volume_fused;
+    # callers reach it through MCCNNCost / _match_core dispatch)
 
     def plane(d):
         sim = jnp.sum(fl * _shift_plane(fr, d), axis=0)   # (H, W) in [-1, 1]
@@ -138,6 +148,60 @@ def mccnn_cost_volume(model: MCCNNFeatures, params: Any,
                      for i in range(num_disparities)], axis=0)
     mask = _invalid_mask(left.shape[-1], num_disparities, min_disparity)
     return jnp.where(mask, INVALID_COST, vol)
+
+
+def _tower_weight_stacks(model: MCCNNFeatures, params: Any):
+    """Flax conv params -> the stacked matrices of the fused tower kernel.
+
+    ``w1``: (9, F, 1) conv-0 taps (row-major over (dy, dx)); ``w3``:
+    (L-1, 3F, 3F) with ``w3[l, dx*F+co, dy*F+ci] = kernel[dy,dx,ci,co]``
+    — the three dy input rows stack on K, the three dx taps on M (see
+    ``ops.pallas_kernels._mccnn_tower_kernel``); ``b``: (L, F, 1).
+    """
+    p = params["params"]
+    L, F = model.num_layers, model.features
+    ks = [p[f"conv{i}"]["kernel"] for i in range(L)]
+    bs = [p[f"conv{i}"]["bias"] for i in range(L)]
+    w1 = jnp.reshape(ks[0], (9, 1, F))            # (dy*3+dx, 1, F)
+    w1 = jnp.swapaxes(w1, 1, 2)                   # (9, F, 1)
+    w3 = jnp.stack([jnp.transpose(k, (1, 3, 0, 2)).reshape(3 * F, 3 * F)
+                    for k in ks[1:]])
+    b = jnp.stack(bs)[..., None]                  # (L, F, 1)
+    return w1, w3, b
+
+
+def mccnn_cost_volume_fused(model: MCCNNFeatures, params: Any,
+                            left: jnp.ndarray, right: jnp.ndarray,
+                            num_disparities: int, scale: float = 24.0,
+                            compute_dtype=jnp.bfloat16,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fully fused TPU path: images -> features -> (D, H, W) volume.
+
+    Two Pallas kernels, zero XLA layout passes between them: the tower
+    kernel (``mccnn_tower_pallas``) keeps every activation in VMEM and
+    emits flat feature slabs with the volume builder's window margin
+    pre-applied; the Gram-band builder (``mccnn_volume_flat_pallas``)
+    consumes them directly and writes the exact volume in natural D
+    order. Equals :func:`mccnn_cost_volume` up to matmul ``compute_dtype``
+    (tested: f32 ~1e-5, bf16 within the documented ~1e-2 drift).
+    Requires min_disparity == 0, D % 128 == 0, 3x3 kernels.
+    """
+    from stereo_match_tpu.ops.pallas_kernels import (
+        mccnn_tower_pallas, mccnn_volume_flat_pallas)
+    if model.kernel != 3:
+        raise ValueError("fused tower supports 3x3 kernels")
+    H, W = left.shape
+    w1, w3, b = _tower_weight_stacks(model, params)
+    imgs = jnp.stack([normalize_image(left), normalize_image(right)])
+    s_out = 48 if model.features <= 64 else 24
+    feats = mccnn_tower_pallas(imgs, w1, w3, b,
+                               num_layers=model.num_layers,
+                               features=model.features, s_out=s_out,
+                               compute_dtype=compute_dtype,
+                               interpret=interpret)
+    return mccnn_volume_flat_pallas(feats[0], feats[1], num_disparities,
+                                    H, W, model.features, scale=scale,
+                                    interpret=interpret)
 
 
 # ------------------------------------------------------------- training ----

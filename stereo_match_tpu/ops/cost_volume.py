@@ -31,8 +31,12 @@ from stereo_match_tpu.ops.census import census_transform, hamming_distance
 # Cost assigned where the right-image sample at x-d falls off the frame.
 # Finite (not inf) so SGM arithmetic stays NaN-free in any dtype; the int16
 # value keeps 8-path sums well inside the int16 range (8 * (1024+P2)).
-INVALID_COST = jnp.float32(1e4)
-INVALID_COST_I16 = jnp.int16(1024)
+# numpy (not jnp) scalars: creating a device array at import time would
+# initialize the XLA backend, which breaks multi-host programs that must
+# call jax.distributed.initialize before any backend touch
+import numpy as _np
+INVALID_COST = _np.float32(1e4)
+INVALID_COST_I16 = _np.int16(1024)
 
 
 def _shift_plane(arr: jnp.ndarray, d) -> jnp.ndarray:

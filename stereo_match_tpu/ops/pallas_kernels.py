@@ -21,6 +21,7 @@ import functools
 from typing import Any
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -618,16 +619,23 @@ def sgm_aggregate_pallas(cost: jnp.ndarray, p1: float, p2: float,
 
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "num_paths",
-                                             "interpret"))
+                                             "min_disparity", "interpret"))
 def sgm_aggregate_wta_pallas(cost: jnp.ndarray, p1: float, p2: float,
                              num_paths: int = 8,
                              cost_T: jnp.ndarray | None = None,
+                             census_T=None, min_disparity: int = 0,
                              interpret: bool = False):
     """Aggregation with the WTA statistics fused into the last pass.
 
     Returns ``(total, (best, idx, c0, c2, second))`` — semantically
     ``(sgm_aggregate_pallas(...), wta_stats_pallas(total))`` (tested
     equal) but with one fewer full-volume HBM read for the 8-path case.
+
+    ``census_T``: optional ``(clT, crT)`` transposed census words — the
+    horizontal pair then runs :func:`sgm_census_hpair_pallas` (costs
+    rebuilt in-register), removing the transposed volume from HBM
+    entirely (vs ``cost_T``'s prebuilt volT: ~714 MB less traffic per
+    frame at KITTI shape). Bit-identical (tested).
     """
     cost = jnp.asarray(cost)
     if cost.dtype not in (jnp.float32, jnp.int16):
@@ -640,9 +648,15 @@ def sgm_aggregate_wta_pallas(cost: jnp.ndarray, p1: float, p2: float,
                                      interpret=interpret)
         return total, wta_stats_pallas(total, interpret=interpret)
     kw = dict(p1=p1, p2=p2, interpret=interpret)
-    volT = jnp.swapaxes(cost, 1, 2) if cost_T is None else cost_T
-    tot_T = sgm_scan_pallas(volT, None, reverse=False, **kw)
-    tot_T = sgm_scan_pallas(volT, tot_T, reverse=True, **kw)
+    if census_T is not None:
+        clT, crT = census_T
+        tot_T = sgm_census_hpair_pallas(clT, crT, cost.shape[0],
+                                        min_disparity, p1, p2,
+                                        interpret=interpret)
+    else:
+        volT = jnp.swapaxes(cost, 1, 2) if cost_T is None else cost_T
+        tot_T = sgm_scan_pallas(volT, None, reverse=False, **kw)
+        tot_T = sgm_scan_pallas(volT, tot_T, reverse=True, **kw)
     total = jnp.swapaxes(tot_T, 1, 2)
     total = sgm_scan3_pallas(cost, total, reverse=False, **kw)
     out = sgm_scan3_stats_pallas(cost, total, reverse=True, **kw)
@@ -1155,3 +1169,465 @@ def mccnn_volume_mxu_pallas(fl: jnp.ndarray, fr: jnp.ndarray,
         interpret=interpret,
     )(fl, fr)
     return out[::-1, :H, :W]
+
+
+# ------------------------------------------------------ MC-CNN tower ----
+
+def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
+                        buf_a, buf_b, *, s_out, num_layers, features,
+                        wpp, w_true, h_true):
+    """Fused MC-CNN feature tower: image block -> L2-normalized features.
+
+    Replaces ``model.apply`` (XLA spatial convs measured ~7 ms/view at
+    KITTI shape — ~7% MFU regardless of dtype, round-4 profile) with an
+    all-VMEM formulation: activations never touch HBM between layers.
+
+    Layout: features live as flat ``(rows*F, wpp)`` slabs — row y's F
+    channels occupy sublanes ``y*F..(y+1)*F`` with W on lanes, so
+
+    * a 3x3 conv layer is ONE matmul per row: ``W3 @ X3`` where
+      ``X3 = buf[y*F:(y+1+2)*F]`` stacks the three dy-input rows on
+      sublanes (an aligned slice, F % 8 == 0 — no copies) and ``W3`` is
+      the ``(3F, 3F)`` tap-stacked weight matrix (host-prepared); K=3F
+      fills the MXU K dimension (192/336 vs 64/112 naive);
+    * the three dx taps ride along as output-row blocks of the same
+      matmul and are combined by two lane rolls of the result
+      (``A @ roll(X, s) == roll(A @ X, s)`` — rolling rhs lanes rolls
+      output lanes);
+    * layer 1 (C_in = 1) is a 9-tap VPU broadcast FMA (matmul with K=1
+      would waste the MXU).
+
+    Convs are corner-anchored (out(y,x) uses in(y..y+2, x..x+2)); the
+    frame shifts by exactly one row/col per layer so block output rows
+    land at ``i*s_out`` with no final shift. To equal the Flax tower's
+    ``padding="SAME"`` *bitwise* each intermediate layer re-zeroes the
+    activations that fall outside the original image (flax zero-pads
+    every layer's input; a deep-pad chain would instead propagate
+    bias-driven values through the L-pixel border — interior pixels are
+    identical either way, tested). Lane wrap-around from the rolls only
+    pollutes cols >= wpp - 2L, beyond the masked data region.
+
+    Output block (1, s_out*F, wpp+256): data written at lane offset 128
+    (the front pad the Gram-band volume builder needs for its aligned
+    256-wide windows) — zero margins stored explicitly since Pallas
+    outputs are uninitialized.
+    """
+    L = num_layers
+    F = features
+    i = pl.program_id(1)
+    row0 = i * s_out
+    r1 = s_out + 2 * L - 2       # layer-1 output rows
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (F, wpp), 1)
+
+    def margin_mask(x, layer, y):
+        # SAME semantics: zero activations outside the original image so
+        # the next layer sees flax's zero padding, not deep-pad values.
+        # Buffer row y of layer `layer` sits at original row
+        # row0 + y + layer - L; its col x at original col x + layer - L.
+        orig_row = row0 + y + layer - L
+        ok_row = jnp.logical_and(orig_row >= 0, orig_row < h_true)
+        lo = L - layer
+        ok_col = jnp.logical_and(col >= lo, col < w_true + lo)
+        return jnp.where(jnp.logical_and(ok_row, ok_col), x, 0.0)
+
+    def l1_body(y, _):
+        acc = jnp.zeros((F, wpp), jnp.float32) + b_ref[0]
+        for dy in range(3):
+            # single-sublane dynamic loads: a multi-row load at offset
+            # row0+y is not provably 8-aligned and Mosaic rejects it
+            row = img_ref[0, pl.ds(row0 + y + dy, 1), :]
+            for dx in range(3):
+                shifted = row if dx == 0 else pltpu.roll(row, wpp - dx,
+                                                         axis=1)
+                acc = acc + w1_ref[dy * 3 + dx] * shifted
+        acc = margin_mask(jnp.maximum(acc, 0.0), 1, y)
+        buf_a[pl.ds(pl.multiple_of(y * F, F), F), :] = acc.astype(
+            buf_a.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, r1, l1_body, 0)
+
+    src, dst = buf_a, buf_b
+    for layer in range(1, L):
+        rows = r1 - 2 * layer + 2      # input rows available in src
+        r_out = rows - 2
+        last = layer == L - 1
+        w3l = w3_ref[layer - 1]
+
+        def lN_body(y, _, src=src, dst=dst, w3l=w3l, layer=layer,
+                    last=last):
+            x3 = src[pl.ds(pl.multiple_of(y * F, F), 3 * F), :]
+            y3 = jax.lax.dot_general(
+                w3l, x3, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = (b_ref[layer] + y3[0:F]
+                   + pltpu.roll(y3[F:2 * F], wpp - 1, axis=1)
+                   + pltpu.roll(y3[2 * F:3 * F], wpp - 2, axis=1))
+            if not last:
+                dst[pl.ds(pl.multiple_of(y * F, F), F), :] = margin_mask(
+                    jnp.maximum(acc, 0.0), layer + 1, y).astype(dst.dtype)
+            else:
+                ssq = jnp.sum(acc * acc, axis=0, keepdims=True)
+                fn = acc * jax.lax.rsqrt(ssq + 1e-12)
+                fn = jnp.where(col < w_true, fn, 0.0)
+                zeros = jnp.zeros((F, 128), out_ref.dtype)
+                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F), pl.ds(0, 128)] = zeros
+                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F), pl.ds(128, wpp)] = fn.astype(
+                    out_ref.dtype)
+                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F),
+                        pl.ds(128 + wpp, 128)] = zeros
+            return 0
+
+        jax.lax.fori_loop(0, r_out, lN_body, 0)
+        src, dst = dst, src
+
+
+@functools.partial(jax.jit, static_argnames=("num_layers", "features",
+                                             "s_out", "compute_dtype",
+                                             "interpret"))
+def mccnn_tower_pallas(imgs: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray,
+                       b: jnp.ndarray, *, num_layers: int, features: int,
+                       s_out: int = 48, compute_dtype=jnp.bfloat16,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Both views' normalized images -> flat feature slabs.
+
+    ``imgs``: (2, H, W) float32, already zero-mean/unit-std normalized.
+    ``w1``: (9, F, 1) conv-0 taps; ``w3``: (L-1, 3F, 3F) stacked
+    tap-block weights (``w3[l, dx*F+co, dy*F+ci] = kernel[dy,dx,ci,co]``);
+    ``b``: (L, F, 1) biases. Returns (2, Hout*F, wpp+256) ``compute_dtype``
+    feature slabs (Hout = ceil(H/s_out)*s_out; data lanes [128, 128+wpp))
+    feeding :func:`mccnn_volume_flat_pallas` with no layout moves.
+    """
+    two, H, W = imgs.shape
+    L, F = num_layers, features
+    wpp = _cdiv(W + 2 * L, 128) * 128
+    nb = _cdiv(H, s_out)
+    h_out = nb * s_out
+    h_in = h_out + 2 * L
+    imgs = jnp.pad(imgs.astype(jnp.float32),
+                   ((0, 0), (L, h_in - H - L), (L, wpp - W - L)))
+    wpp2 = wpp + 256
+    r1 = s_out + 2 * L - 2
+    dt = jnp.dtype(compute_dtype)
+    out = pl.pallas_call(
+        functools.partial(_mccnn_tower_kernel, s_out=s_out,
+                          num_layers=L, features=F, wpp=wpp, w_true=W,
+                          h_true=H),
+        grid=(2, nb),
+        in_specs=[
+            pl.BlockSpec((1, h_in, wpp), lambda v, i: (v, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, F, 1), lambda v, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 3 * F, 3 * F), lambda v, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, F, 1), lambda v, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_out * F, wpp2),
+                               lambda v, i: (v, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h_out * F, wpp2), dt),
+        scratch_shapes=[pltpu.VMEM((r1 * F, wpp), dt),
+                        pltpu.VMEM(((r1 - 2) * F, wpp), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(imgs, w1.astype(dt), w3.astype(dt), b.astype(jnp.float32))
+    return out
+
+
+def _mccnn_vol_flat_kernel(fl_ref, fr_ref, flip_ref, out_ref, *, d_levels,
+                           scale, features, wpp):
+    """Flat-slab variant of ``_mccnn_vol_mxu_kernel``.
+
+    Reads the (s_blk*F, wpp+256) feature slabs of
+    :func:`mccnn_tower_pallas` directly (row k's channels at sublanes
+    k*F..(k+1)*F, data lanes at offset 128 — the front pad IS the
+    aligned window margin, so the wrapper pads nothing) and writes the
+    (D, s_blk, W) cost block in natural D order: the shear's reversed
+    plane order is undone in-register by one anti-identity matmul
+    (``flip_ref``) instead of the round-3 path's full-volume XLA
+    ``[::-1]`` reverse+slice (~2 x 238 MB of HBM traffic).
+    """
+    s_blk = out_ref.shape[1]
+    n_tiles = wpp // 128
+    n_dblocks = d_levels // 128
+    row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    flip = flip_ref[:]
+    for k in range(s_blk):
+        for t in range(n_tiles):
+            A = fl_ref[pl.ds(k * features, features),
+                       128 + t * 128:128 + (t + 1) * 128]
+            for db in range(n_dblocks):
+                if t - db < 0:
+                    out_ref[pl.dslice(db * 128, 128), k,
+                            t * 128:(t + 1) * 128] = \
+                        jnp.full((128, 128), 1e4, out_ref.dtype)
+                    continue
+                w0 = 128 + (t - 1 - db) * 128
+                B = fr_ref[pl.ds(k * features, features), w0:w0 + 256]
+                G = jax.lax.dot_general(
+                    A, B, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (128, 256)
+                G2 = pltpu.roll(G, 255, axis=1)           # c + 1
+                for bsh in (1, 2, 4, 8, 16, 32, 64):
+                    rolled = pltpu.roll(G2, 256 - bsh, axis=1)
+                    G2 = jnp.where((row128 & bsh) != 0, rolled, G2)
+                Mp = G2[:, 0:128]                         # (x_rel, d'=127-dd)
+                # flip d' -> dd while transposing: (Mp @ P).T with P the
+                # anti-identity permutation (symmetric)
+                Md = jax.lax.dot_general(
+                    Mp.astype(flip.dtype), flip,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).T  # (dd, x_rel)
+                cost = scale * (1.0 - Md) * 0.5
+                x_glob = x_iota + t * 128
+                d_glob = db * 128 + d_iota
+                cost = jnp.where(x_glob < d_glob,
+                                 jnp.full((), 1e4, jnp.float32), cost)
+                out_ref[pl.dslice(db * 128, 128), k,
+                        t * 128:(t + 1) * 128] = cost.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "h", "w",
+                                             "features", "scale",
+                                             "interpret"))
+def mccnn_volume_flat_pallas(fl_flat: jnp.ndarray, fr_flat: jnp.ndarray,
+                             num_disparities: int, h: int, w: int,
+                             features: int, scale: float = 24.0,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Flat feature slabs -> exact (D, h, w) learned-cost volume.
+
+    MXU Gram-band builder consuming :func:`mccnn_tower_pallas` output
+    as-is (zero feature-map copies); the out_shape is the exact volume
+    (partial tail blocks masked by Pallas) so no slice pass follows.
+    """
+    if num_disparities % 128:
+        raise ValueError("flat MC-CNN builder needs D % 128 == 0")
+    wpp = fl_flat.shape[1] - 256
+    s_blk = 8
+    n_sblocks = _cdiv(h, s_blk)
+    dt = fl_flat.dtype
+    flip = jnp.asarray(np.eye(128)[::-1].copy(), dt)
+    in_spec = pl.BlockSpec((s_blk * features, wpp + 256),
+                           lambda s: (s, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mccnn_vol_flat_kernel,
+                          d_levels=num_disparities, scale=float(scale),
+                          features=features, wpp=wpp),
+        grid=(n_sblocks,),
+        in_specs=[in_spec, in_spec,
+                  pl.BlockSpec((128, 128), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((num_disparities, s_blk, wpp),
+                               lambda s: (0, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_disparities, h, w),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(fl_flat, fr_flat, flip)
+    return out
+
+
+# ------------------------------------- fused census + horizontal scan ----
+
+def _sgm_scan_census_kernel(cl_ref, cr_ref, *rest, p1, p2, s_blk, reverse,
+                            has_acc, d_levels, min_disparity, n_sblocks,
+                            w_true, words, rev_c0, invalid_cost):
+    """Horizontal SGM scan whose cost rows are built in-register from
+    census words — the volT volume never exists in HBM.
+
+    Round-3's stage 0 wrote the transposed cost volume
+    (``census_volume_T_pallas``, 238 MB at KITTI shape) only for the two
+    horizontal scans to stream it back in (2 x 238 MB). Here each scan
+    step maintains a circular window of the D most recent right-census
+    rows in VMEM scratch (``ring``): slot ``(-x) mod D`` holds row x, so
+    one single-row store per step replaces exactly the row that falls
+    out of the window, and the d-ordered cost source is ONE dynamic
+    sublane rotate: ``rotate(ring, x mod D)[d] = cr[x - d]``. The cost
+    row is then ``popcount(cl[x] ^ rotated)`` summed over words —
+    VMEM-bandwidth work in place of ~714 MB of HBM traffic per frame.
+
+    Reverse scans window *ahead* of the cursor; the first step seeds the
+    ring from the aligned tail slab, un-reversed by an anti-identity
+    matmul in f32 (exact for census words <= 24 bits — the wrapper
+    gates on that) and rotated into slot order by the static ``rev_c0``.
+    """
+    it = iter(rest)
+    anti_ref = next(it) if reverse else None
+    acc_ref = next(it) if has_acc else None
+    out_ref = next(it)
+    carry_ref = next(it)
+    ring_ref = next(it)
+    D = d_levels
+    tile_n = out_ref.shape[2]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        if reverse:
+            anti = anti_ref[:]
+            wp = cr_ref.shape[1]
+            for w in range(words):
+                slab = cr_ref[w, wp - D:wp, :].astype(jnp.float32)
+                rev = jax.lax.dot_general(
+                    anti, slab, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ring_ref[w] = pltpu.roll(rev.astype(jnp.int32), rev_c0,
+                                         axis=0)
+
+    base = ((n_sblocks - 1 - s) if reverse else s) * s_blk
+    carry = carry_ref[:]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, tile_n), 0)
+    for k in (range(s_blk - 1, -1, -1) if reverse else range(s_blk)):
+        x = base + k
+        ins_row = x if not reverse else jnp.maximum(x - D + 1, 0)
+        cost = jnp.zeros((D, tile_n), jnp.float32)
+        for w in range(words):
+            slot = (-ins_row) % D
+            ring_ref[w, pl.ds(slot, 1), :] = cr_ref[w, pl.ds(ins_row, 1), :]
+            rotated = pltpu.roll(ring_ref[w], x % D, axis=0)
+            clx = cl_ref[w, pl.ds(k, 1), :]
+            cost = cost + jax.lax.population_count(
+                jnp.bitwise_xor(rotated, clx)).astype(jnp.float32)
+        cost = jnp.where(d_iota > x - min_disparity,
+                         jnp.float32(invalid_cost), cost)
+        cost = jnp.where(x >= w_true, jnp.float32(0.0), cost)
+        carry = _sgm_step(cost, carry, p1, p2)
+        if has_acc:
+            out_ref[:, k, :] = acc_ref[:, k, :] + carry
+        else:
+            out_ref[:, k, :] = carry
+    carry_ref[:] = carry
+
+
+def _census_scan_padded(clT, crT, accum, D, min_disparity, p1, p2,
+                        reverse, w_true, tile_n, invalid_cost, interpret):
+    """Padded-shape core of the census-fused scan (one direction).
+
+    Operands arrive pre-padded ((words, wp, hp) / (D, wp, hp)); callers
+    chain passes without re-pad/slice volume copies in between.
+    """
+    words, wp, hp = clT.shape
+    s_blk = 8
+    n_sblocks = wp // s_blk
+    n_tiles = hp // tile_n
+    rev_c0 = (1 - wp) % D
+
+    def idx(n, s):
+        return (0, (n_sblocks - 1 - s) if reverse else s, n)
+
+    cl_spec = pl.BlockSpec((words, s_blk, tile_n), idx,
+                           memory_space=pltpu.VMEM)
+    cr_spec = pl.BlockSpec((words, wp, tile_n), lambda n, s: (0, 0, n),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((D, s_blk, tile_n), idx,
+                            memory_space=pltpu.VMEM)
+    operands = [clT, crT]
+    in_specs = [cl_spec, cr_spec]
+    if reverse:
+        operands.append(jnp.asarray(np.eye(D)[::-1].copy(), jnp.float32))
+        in_specs.append(pl.BlockSpec((D, D), lambda n, s: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    aliases = {}
+    if accum is not None:
+        operands.append(accum)
+        in_specs.append(out_spec)
+        aliases = {len(operands) - 1: 0}
+    return pl.pallas_call(
+        functools.partial(
+            _sgm_scan_census_kernel, p1=float(p1), p2=float(p2),
+            s_blk=s_blk, reverse=reverse, has_acc=accum is not None,
+            d_levels=D, min_disparity=min_disparity,
+            n_sblocks=n_sblocks, w_true=w_true, words=words,
+            rev_c0=rev_c0, invalid_cost=float(invalid_cost)),
+        grid=(n_tiles, n_sblocks),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((D, wp, hp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((D, tile_n), jnp.float32),
+                        pltpu.VMEM((words, D, tile_n), jnp.int32)],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+
+
+def _census_scan_pads(clT, crT, D, min_disparity, tile_n):
+    words, W, H = clT.shape
+    if W < D:
+        raise ValueError("fused census scan needs W >= num_disparities")
+    wp = _cdiv(W, 8) * 8
+    tile_n = _fit_tile_n(tile_n, H, D, 8, 4, n_bufs=2, n_scratch=2)
+    hp = _cdiv(H, tile_n) * tile_n
+    clT = jnp.pad(clT, ((0, 0), (0, wp - W), (0, hp - H)))
+    crT = jnp.pad(crT, ((0, 0), (0, wp - W), (0, hp - H)))
+    if min_disparity:
+        # shift right-rows so ring row x holds cr[x - min_d]
+        crT = jnp.roll(crT, min_disparity, axis=1)
+    return clT, crT, tile_n, W, H, wp, hp
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities",
+                                             "min_disparity", "p1", "p2",
+                                             "reverse", "invalid_cost",
+                                             "tile_n", "interpret"))
+def sgm_census_scan_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
+                           accum: jnp.ndarray | None,
+                           num_disparities: int, min_disparity: int,
+                           p1: float, p2: float, reverse: bool = False,
+                           invalid_cost: float = 1e4, tile_n: int = 640,
+                           interpret: bool = False) -> jnp.ndarray:
+    """One horizontal census-fused scan pass -> (D, W, H) totals.
+
+    ``accum`` adds in place (aliased) like ``sgm_scan_pallas``.
+    ``invalid_cost`` selects the x<d sentinel (1e4 default; 1024 for the
+    streaming pipeline's bounded-int16 wire mode). Used by the streaming
+    stage pipeline, which runs the two directions on different chips;
+    single-chip callers use :func:`sgm_census_hpair_pallas` (no pad/slice
+    copies between the passes).
+    """
+    D = num_disparities
+    clT, crT, tile_n, W, H, wp, hp = _census_scan_pads(
+        clT, crT, D, min_disparity, tile_n)
+    if accum is not None:
+        accum = jnp.pad(accum, ((0, 0), (0, wp - accum.shape[1]),
+                                (0, hp - accum.shape[2])))
+    out = _census_scan_padded(clT, crT, accum, D, min_disparity, p1, p2,
+                              reverse, W, tile_n, invalid_cost, interpret)
+    return out[:, :W, :H]
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities",
+                                             "min_disparity", "p1", "p2",
+                                             "tile_n", "interpret"))
+def sgm_census_hpair_pallas(clT: jnp.ndarray, crT: jnp.ndarray,
+                            num_disparities: int, min_disparity: int,
+                            p1: float, p2: float, tile_n: int = 640,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Census words (words, W, H) -> horizontal fwd+rev SGM total (D, W, H).
+
+    Replaces ``census_volume_T_pallas`` + two ``sgm_scan_pallas`` passes:
+    same bit-exact totals (tested) with no transposed volume in HBM.
+    Requires census words <= 24 bits (exact f32 reversal matmul; the
+    default (5, 5) window packs 24) and W >= D for the reverse seed.
+    """
+    D = num_disparities
+    clT, crT, tile_n, W, H, wp, hp = _census_scan_pads(
+        clT, crT, D, min_disparity, tile_n)
+    tot = _census_scan_padded(clT, crT, None, D, min_disparity, p1, p2,
+                              False, W, tile_n, 1e4, interpret)
+    tot = _census_scan_padded(clT, crT, tot, D, min_disparity, p1, p2,
+                              True, W, tile_n, 1e4, interpret)
+    return tot[:, :W, :H]

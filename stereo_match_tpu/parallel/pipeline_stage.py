@@ -146,6 +146,124 @@ def make_stage_fns(cfg: DisparityConfig, image_shape: tuple[int, int],
     return [compose(units[0], units[1]), compose(units[2], units[3])]
 
 
+def _n_census_words(window) -> int:
+    return -(-(window[0] * window[1] - 1) // 32)
+
+
+def make_stage_fns_census(cfg: DisparityConfig, image_shape: tuple[int, int],
+                          n_stages: int, interpret: bool,
+                          invalid_clamp: float | None = None):
+    """Census-payload stage branches: the wire carries (running total,
+    census words) instead of (cost volume, running total).
+
+    The cost volume is a pure function of the census words, so instead of
+    rotating it over ICI every hop (238 MB at KITTI shape) each stage
+    REBUILDS what it needs locally: stages 0/1 run the census-fused
+    horizontal scans (``sgm_census_scan_pallas`` — no volume at all),
+    stages 2/3 rebuild the planes-layout volume in HBM once each
+    (``census_volume_pallas``, ~1 local volume write, no ICI). Per-hop
+    payload drops from 2 to ~1.03 volume-equivalents — the f32 pipeline
+    goes from ICI-bound (~10 ms/hop vs 7-8 ms stage compute,
+    docs/architecture.md) to compute-bound.
+
+    Branch signature: ``(tot, words, left, right) -> (tot, words, out)``
+    with ``tot``: (D*H*W,) f32, ``words``: (2*n_words*H*W,) int32 holding
+    [clT | crT] in the transposed (words, W, H) layout stages 0/1 scan.
+    """
+    if cfg.cost != "census" or cfg.num_paths != 8 or cfg.min_disparity < 0:
+        raise ValueError("stage pipeline supports the production fast path: "
+                         "census cost, 8-path SGM, min_disparity >= 0")
+    if n_stages not in (2, 4):
+        raise ValueError("n_stages must be 2 or 4")
+    wh, ww = cfg.census_window
+    if wh * ww - 1 > 24:
+        raise ValueError("census payload mode needs <= 24-bit census "
+                         "words (window area - 1 <= 24)")
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_pallas, sgm_census_scan_pallas, sgm_scan3_pallas,
+        sgm_scan3_stats_pallas)
+    from stereo_match_tpu.ops.speckle import speckle_filter
+    from stereo_match_tpu.ops.wls import wls_filter_disparity
+    from stereo_match_tpu.ops.wta import extract_disparity_fast
+
+    H, W = image_shape
+    D = cfg.num_disparities
+    nw = _n_census_words(cfg.census_window)
+    p1, p2 = cfg.P1, cfg.P2
+    invalid = 1e4 if invalid_clamp is None else float(invalid_clamp)
+    scan_kw = dict(num_disparities=D, min_disparity=cfg.min_disparity,
+                   p1=p1, p2=p2, invalid_cost=invalid, interpret=interpret)
+    kw3 = dict(p1=p1, p2=p2, interpret=interpret)
+    zero_out = jnp.zeros((2, H, W), jnp.float32)
+
+    def unpack_words(wv):
+        both = wv.reshape(2, nw, W, H)
+        return both[0], both[1]
+
+    def rebuild_vol(wv):
+        clT, crT = unpack_words(wv)
+        vol = census_volume_pallas(jnp.swapaxes(clT, 1, 2),
+                                   jnp.swapaxes(crT, 1, 2), D,
+                                   cfg.min_disparity, dtype=jnp.float32,
+                                   interpret=interpret)
+        if invalid_clamp is not None:
+            vol = jnp.minimum(vol, jnp.float32(invalid_clamp))
+        return vol
+
+    def s0(tot, wv, left, right):
+        clT = _census_T(left, cfg.census_window)
+        crT = _census_T(right, cfg.census_window)
+        totT = sgm_census_scan_pallas(clT, crT, None, reverse=False,
+                                      **scan_kw)
+        wv = jnp.stack([clT, crT]).reshape(-1)
+        return totT.reshape(-1), wv, zero_out
+
+    def s1(tot, wv, left, right):
+        clT, crT = unpack_words(wv)
+        totT = sgm_census_scan_pallas(clT, crT, tot.reshape(D, W, H),
+                                      reverse=True, **scan_kw)
+        return jnp.swapaxes(totT, 1, 2).reshape(-1), wv, zero_out
+
+    def s2(tot, wv, left, right):
+        vol = rebuild_vol(wv)
+        t = sgm_scan3_pallas(vol, tot.reshape(D, H, W), reverse=False,
+                             **kw3)
+        return t.reshape(-1), wv, zero_out
+
+    def s3(tot, wv, left, right):
+        vol = rebuild_vol(wv)
+        outs = sgm_scan3_stats_pallas(vol, tot.reshape(D, H, W), p1, p2,
+                                      reverse=True, interpret=interpret)
+        agg, stats = outs[0], outs[1:]
+        disp = extract_disparity_fast(
+            agg, stats=stats, min_disparity=cfg.min_disparity,
+            uniqueness_ratio=cfg.uniqueness_ratio,
+            disp12_max_diff=cfg.disp12_max_diff, subpixel=cfg.subpixel,
+            interpret=interpret)
+        disp = speckle_filter(disp, cfg.speckle_window_size,
+                              cfg.speckle_range)
+        if cfg.wls:
+            filt = wls_filter_disparity(disp, left, lmbda=cfg.lmbda,
+                                        sigma_color=cfg.sigma,
+                                        num_iter=cfg.wls_iters)
+        else:
+            filt = disp
+        return agg.reshape(-1), wv, jnp.stack([disp, filt])
+
+    units = [s0, s1, s2, s3]
+    if n_stages == 4:
+        return units
+
+    def compose(f, g):
+        def h(tot, wv, left, right):
+            tot, wv, _ = f(tot, wv, left, right)
+            return g(tot, wv, left, right)
+        return h
+
+    return [compose(units[0], units[1]), compose(units[2], units[3])]
+
+
 class StreamingPipeline:
     """Chip-resident stage pipeline over a mesh "stage" axis.
 
@@ -165,17 +283,26 @@ class StreamingPipeline:
     may differ from the default f32 pipeline only in left-edge columns
     where x < d for most disparities — see docs/architecture.md "ICI
     budget of the streaming stage pipeline".
+
+    ``payload_mode="census"`` halves it again structurally: the wire
+    carries (running total, census words) and every stage rebuilds the
+    volume it needs locally (see :func:`make_stage_fns_census`) — 477 ->
+    242 MB/hop f32, 123 MB with the int16 wire. Bit-identical to the
+    single-chip fast path (tested).
     """
 
     def __init__(self, config: DisparityConfig, mesh: Mesh,
                  image_shape: tuple[int, int], axis: str = "stage",
                  interpret: bool | None = None,
                  payload_dtype: str = "float32",
+                 payload_mode: str = "volume",
                  _invalid_clamp: float | None = None):
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         if payload_dtype not in ("float32", "int16"):
             raise ValueError("payload_dtype must be float32 or int16")
+        if payload_mode not in ("volume", "census"):
+            raise ValueError("payload_mode must be volume or census")
         self.config = config
         self.mesh = mesh
         self.axis = axis
@@ -206,47 +333,83 @@ class StreamingPipeline:
             invalid_clamp = 1024.0
         H, W = image_shape
         self.image_shape = (H, W)
+        self.payload_mode = payload_mode
         D = config.num_disparities
-        branches = make_stage_fns(config, image_shape, self.n_stages,
-                                  interpret, invalid_clamp=invalid_clamp)
         S = self.n_stages
         axis_name = axis
         wire_dt = jnp.int16 if payload_dtype == "int16" else jnp.float32
 
         fwd = [(k, k + 1) for k in range(S - 1)]
-
-        def step_local(state, lstate, left, right):
-            # each frame's left image travels with its activation (stage
-            # S-1's WLS guides on *its* frame, not the one being fed now)
-            i = jax.lax.axis_index(axis_name)
-            my_left = jnp.where(i == 0, left, lstate[0])
-            payload, out = jax.lax.switch(i, branches,
-                                          state[0].astype(jnp.float32),
-                                          my_left, right)
-            return (jax.lax.ppermute(payload.astype(wire_dt), axis_name,
-                                     fwd)[None],
-                    jax.lax.ppermute(my_left, axis_name, fwd)[None],
-                    out[None])
-
         spec_state = P(axis, None, None)
         spec_img = P(axis, None, None)
         spec_out = P(axis, None, None, None)
-        stepped = shard_map(step_local, mesh=mesh,
-                            in_specs=(spec_state, spec_img, P(None, None),
-                                      P(None, None)),
-                            out_specs=(spec_state, spec_img, spec_out),
-                            check_vma=False)
-        self._step = jax.jit(stepped, donate_argnums=(0, 1))
-        self._shapes = (S, 2, D * H * W)
+
+        if payload_mode == "census":
+            branches = make_stage_fns_census(config, image_shape, S,
+                                             interpret,
+                                             invalid_clamp=invalid_clamp)
+            nw = _n_census_words(config.census_window)
+
+            def step_local(state, wstate, lstate, left, right):
+                i = jax.lax.axis_index(axis_name)
+                my_left = jnp.where(i == 0, left, lstate[0])
+                tot, wv, out = jax.lax.switch(
+                    i, branches, state[0].astype(jnp.float32), wstate[0],
+                    my_left, right)
+                return (jax.lax.ppermute(tot.astype(wire_dt), axis_name,
+                                         fwd)[None],
+                        jax.lax.ppermute(wv, axis_name, fwd)[None],
+                        jax.lax.ppermute(my_left, axis_name, fwd)[None],
+                        out[None])
+
+            stepped = shard_map(step_local, mesh=mesh,
+                                in_specs=(P(axis, None), P(axis, None),
+                                          spec_img, P(None, None),
+                                          P(None, None)),
+                                out_specs=(P(axis, None), P(axis, None),
+                                           spec_img, spec_out),
+                                check_vma=False)
+            self._step = jax.jit(stepped, donate_argnums=(0, 1, 2))
+            self._shapes = (S, D * H * W, 2 * nw * H * W)
+        else:
+            branches = make_stage_fns(config, image_shape, S, interpret,
+                                      invalid_clamp=invalid_clamp)
+
+            def step_local(state, lstate, left, right):
+                # each frame's left image travels with its activation
+                # (stage S-1's WLS guides on *its* frame, not the one
+                # being fed now)
+                i = jax.lax.axis_index(axis_name)
+                my_left = jnp.where(i == 0, left, lstate[0])
+                payload, out = jax.lax.switch(i, branches,
+                                              state[0].astype(jnp.float32),
+                                              my_left, right)
+                return (jax.lax.ppermute(payload.astype(wire_dt),
+                                         axis_name, fwd)[None],
+                        jax.lax.ppermute(my_left, axis_name, fwd)[None],
+                        out[None])
+
+            stepped = shard_map(step_local, mesh=mesh,
+                                in_specs=(spec_state, spec_img,
+                                          P(None, None), P(None, None)),
+                                out_specs=(spec_state, spec_img, spec_out),
+                                check_vma=False)
+            self._step = jax.jit(stepped, donate_argnums=(0, 1))
+            self._shapes = (S, 2, D * H * W)
         self._wire_dt = wire_dt
         self.reset()
 
     def reset(self) -> None:
         """Clear all in-flight activations (called by :meth:`run`, so one
         pipeline instance can stream several independent sequences)."""
-        S, two, DHW = self._shapes
         H, W = self.image_shape
-        self._state = jnp.zeros((S, two, DHW), self._wire_dt)
+        if self.payload_mode == "census":
+            S, DHW, WV = self._shapes
+            self._state = jnp.zeros((S, DHW), self._wire_dt)
+            self._wstate = jnp.zeros((S, WV), jnp.int32)
+        else:
+            S, two, DHW = self._shapes
+            self._state = jnp.zeros((S, two, DHW), self._wire_dt)
         self._lstate = jnp.zeros((S, H, W), jnp.float32)
         self._fed = 0
 
@@ -256,8 +419,12 @@ class StreamingPipeline:
         while the pipeline is still filling."""
         l = jnp.asarray(np.asarray(left), jnp.float32)
         r = jnp.asarray(np.asarray(right), jnp.float32)
-        self._state, self._lstate, outs = self._step(self._state,
-                                                     self._lstate, l, r)
+        if self.payload_mode == "census":
+            self._state, self._wstate, self._lstate, outs = self._step(
+                self._state, self._wstate, self._lstate, l, r)
+        else:
+            self._state, self._lstate, outs = self._step(self._state,
+                                                         self._lstate, l, r)
         self._fed += 1
         if self._fed >= self.n_stages:
             return np.asarray(outs[-1])

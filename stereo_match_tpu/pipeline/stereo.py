@@ -62,11 +62,14 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
     # (e.g. GPU) take the XLA reference path (advisor round-3 finding)
     on_cpu = not is_tpu_backend()
     vol_T = None
+    census_T = None
     if cost_fn is not None:
         vol = cost_fn(left_gray, right_gray)
     elif not on_cpu and cfg.cost == "census" and cfg.min_disparity >= 0:
-        # Pallas fast path: build the volume in BOTH scan layouts straight
-        # from the census words — no XLA shift chain, no volume transpose
+        # Pallas fast path: the normal-layout volume feeds scan3/WTA; the
+        # horizontal pair rebuilds costs in-register from the census
+        # words (sgm_census_hpair_pallas) so the transposed volume never
+        # exists in HBM (~714 MB/frame less traffic at KITTI shape).
         from stereo_match_tpu.ops.census import census_transform
         from stereo_match_tpu.ops.pallas_kernels import (
             census_volume_T_pallas, census_volume_pallas)
@@ -79,9 +82,16 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
         dt = jnp.float32
         vol = census_volume_pallas(cl, cr, cfg.num_disparities,
                                    cfg.min_disparity, dtype=dt)
-        vol_T = census_volume_T_pallas(
-            jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2),
-            cfg.num_disparities, cfg.min_disparity, dtype=dt)
+        wh, ww = cfg.census_window
+        if (wh * ww - 1 <= 24 and cfg.num_paths == 8
+                and left_gray.shape[1] >= cfg.num_disparities):
+            # fused path needs <=24-bit words (exact f32 reversal
+            # matmul) and W >= D (reverse ring seed)
+            census_T = (jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2))
+        else:
+            vol_T = census_volume_T_pallas(
+                jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2),
+                cfg.num_disparities, cfg.min_disparity, dtype=dt)
     else:
         vol = build_cost_volume(
             left_gray, right_gray,
@@ -104,7 +114,9 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
             sgm_aggregate_wta_pallas
         from stereo_match_tpu.ops.wta import extract_disparity_fast
         agg, stats = sgm_aggregate_wta_pallas(vol, cfg.P1, cfg.P2,
-                                              cfg.num_paths, cost_T=vol_T)
+                                              cfg.num_paths, cost_T=vol_T,
+                                              census_T=census_T,
+                                              min_disparity=cfg.min_disparity)
         out = extract_disparity_fast(agg, stats=stats, **extract_kw)
     disp, disp_right = out if extract_kw["return_right"] else (out, None)
     disp = speckle_filter(disp, cfg.speckle_window_size, cfg.speckle_range)

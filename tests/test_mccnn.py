@@ -182,3 +182,53 @@ def test_shipped_checkpoint_beats_census():
     assert clean_m <= clean_c + 0.03, results      # ties on clean
     assert noisy_m < noisy_c, results              # wins under noise
     assert noisy_m < 0.25, results                 # and is absolutely usable
+
+
+@pytest.mark.parametrize("arch,shape", [("fast", (40, 150)),
+                                        ("accurate", (33, 140))])
+def test_fused_tower_matches_flax(arch, shape):
+    """The all-VMEM Pallas tower (interpret mode) must equal model.apply
+    bitwise-ish in f32 — including the L-pixel border, where each layer
+    re-zeroes activations to reproduce flax's per-layer SAME padding."""
+    from stereo_match_tpu.models.mccnn import _tower_weight_stacks
+    from stereo_match_tpu.ops.pallas_kernels import mccnn_tower_pallas
+
+    H, W = shape
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(-1, 1, (H, W)), jnp.float32)
+    img2 = jnp.asarray(rng.uniform(-1, 1, (H, W)), jnp.float32)
+    model = make_model(arch)
+    params = init_params(model, jax.random.PRNGKey(1))
+    w1, w3, b = _tower_weight_stacks(model, params)
+    F, L = model.features, model.num_layers
+    feats = mccnn_tower_pallas(jnp.stack([img, img2]), w1, w3, b,
+                               num_layers=L, features=F, s_out=16,
+                               compute_dtype=jnp.float32, interpret=True)
+    for v, im in ((0, img), (1, img2)):
+        ref = np.moveaxis(
+            np.asarray(model.apply(params, im[None, ..., None])[0]), -1, 0)
+        f = np.asarray(feats[v])
+        got = np.moveaxis(f.reshape(-1, F, f.shape[1])[:H, :, 128:128 + W],
+                          1, 0)
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_fused_cost_volume_matches_xla_path():
+    """mccnn_cost_volume_fused (tower + flat Gram-band builder, exact
+    out_shape, in-kernel D-flip) == the XLA mccnn_cost_volume in f32."""
+    from stereo_match_tpu.models.mccnn import (mccnn_cost_volume,
+                                               mccnn_cost_volume_fused)
+
+    H, W, D = 50, 200, 128
+    rng = np.random.default_rng(5)
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    model = make_model("fast")
+    params = init_params(model, jax.random.PRNGKey(0))
+    ref = np.asarray(mccnn_cost_volume(model, params, left, right, D,
+                                       use_bf16=False))
+    got = np.asarray(mccnn_cost_volume_fused(
+        model, params, left, right, D, compute_dtype=jnp.float32,
+        interpret=True))
+    assert got.shape == (D, H, W)
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -272,3 +272,62 @@ def test_mccnn_volume_mxu_matches_vpu(rng):
     inv = want >= 1e4
     np.testing.assert_array_equal(got[inv], want[inv])
     np.testing.assert_allclose(got[~inv], want[~inv], atol=0.15)
+
+
+def test_fused_census_hpair_bit_parity():
+    """sgm_census_hpair_pallas (in-register cost rebuild, no volT in HBM)
+    must be bit-identical to census_volume_T_pallas + fwd/rev
+    sgm_scan_pallas, incl. min_disparity > 0 and D < 128."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_T_pallas, sgm_census_hpair_pallas, sgm_scan_pallas)
+
+    rng = np.random.default_rng(0)
+    for (H, W, D, mind) in [(40, 150, 128, 0), (40, 160, 128, 4),
+                            (24, 140, 64, 0)]:
+        left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+        right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+        clT = jnp.swapaxes(jnp.moveaxis(
+            census_transform(left, (5, 5)), -1, 0), 1, 2)
+        crT = jnp.swapaxes(jnp.moveaxis(
+            census_transform(right, (5, 5)), -1, 0), 1, 2)
+        volT = census_volume_T_pallas(clT, crT, D, mind,
+                                      dtype=jnp.float32, interpret=True)
+        ref = sgm_scan_pallas(volT, None, 8.0, 32.0, reverse=False,
+                              interpret=True)
+        ref = sgm_scan_pallas(volT, ref, 8.0, 32.0, reverse=True,
+                              interpret=True)
+        got = sgm_census_hpair_pallas(clT, crT, D, mind, 8.0, 32.0,
+                                      interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_aggregate_wta_census_T_bit_parity():
+    """The census_T route through sgm_aggregate_wta_pallas equals the
+    cost_T route bitwise (total and all five WTA statistics)."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_T_pallas, census_volume_pallas,
+        sgm_aggregate_wta_pallas)
+
+    rng = np.random.default_rng(1)
+    H, W, D = 36, 150, 128
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    cl = jnp.moveaxis(census_transform(left, (5, 5)), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, (5, 5)), -1, 0)
+    vol = census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32,
+                               interpret=True)
+    volT = census_volume_T_pallas(jnp.swapaxes(cl, 1, 2),
+                                  jnp.swapaxes(cr, 1, 2), D, 0,
+                                  dtype=jnp.float32, interpret=True)
+    ref_tot, ref_stats = sgm_aggregate_wta_pallas(vol, 8.0, 32.0, 8,
+                                                  cost_T=volT,
+                                                  interpret=True)
+    got_tot, got_stats = sgm_aggregate_wta_pallas(
+        vol, 8.0, 32.0, 8, census_T=(jnp.swapaxes(cl, 1, 2),
+                                     jnp.swapaxes(cr, 1, 2)),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_tot), np.asarray(ref_tot))
+    for g, r in zip(got_stats, ref_stats):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

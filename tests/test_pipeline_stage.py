@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from stereo_match_tpu.config import DisparityConfig
 from stereo_match_tpu.data.synthetic import box_scene, random_dot_pair
 from stereo_match_tpu.parallel.pipeline_stage import (StreamingPipeline,
@@ -139,3 +141,52 @@ def test_int16_payload_overflow_guard():
     # 2-stage split only has 2 paths in flight: same config is legal
     StreamingPipeline(cfg, make_stage_mesh(2), image_shape=(H, W),
                       payload_dtype="int16")
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_census_payload_matches_single_chip(n_stages):
+    """payload_mode='census' (wire carries totals + census words; each
+    stage rebuilds its volume locally — ~half the ICI traffic) must match
+    the single-chip fast path bitwise."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(n_stages)
+    pipe = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                             payload_mode="census")
+    frames = _frames(n_stages + 1, seed0=13)
+    results = pipe.run(frames)
+    assert len(results) == len(frames)
+    for (l, r), (raw, filt) in zip(frames, results):
+        ref_raw, ref_filt = _match_core(jnp.asarray(l, jnp.float32),
+                                        jnp.asarray(r, jnp.float32), cfg)
+        np.testing.assert_array_equal(raw, np.asarray(ref_raw))
+        np.testing.assert_array_equal(filt, np.asarray(ref_filt))
+
+
+def test_census_payload_int16_bit_parity():
+    """census mode + int16 totals wire == f32 census mode with the
+    clamped 1024 sentinel (same invariant as the volume mode)."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(4)
+    frames = _frames(5, seed0=19)
+    ref = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            payload_mode="census",
+                            _invalid_clamp=1024.0).run(frames)
+    got = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            payload_mode="census",
+                            payload_dtype="int16").run(frames)
+    for (r1, f1), (r2, f2) in zip(ref, got):
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(f1, f2)
+
+
+def test_census_payload_wire_is_smaller():
+    """The point of census mode: in-flight wire state is ~half."""
+    cfg = _cfg()
+    mesh = make_stage_mesh(2)
+    vol = StreamingPipeline(cfg, mesh, image_shape=(H, W))
+    cen = StreamingPipeline(cfg, mesh, image_shape=(H, W),
+                            payload_mode="census")
+    vol_bytes = vol._state.size * vol._state.dtype.itemsize
+    cen_bytes = (cen._state.size * cen._state.dtype.itemsize
+                 + cen._wstate.size * 4)
+    assert cen_bytes < 0.62 * vol_bytes, (cen_bytes, vol_bytes)

@@ -45,9 +45,26 @@ def main() -> int:
         "production_wls": DisparityConfig(num_disparities=D),
     }
     print(f"device: {jax.devices()[0]}", flush=True)
+
+    # MC-CNN fused tower+volume path (both archs, random init — compile
+    # only cares about shapes)
+    from stereo_match_tpu.costs import MCCNNCost
+    from stereo_match_tpu.models import mccnn
+    mc_jobs = {}
+    for arch in ("fast", "accurate"):
+        model = mccnn.make_model(arch)
+        params = mccnn.init_params(model, jax.random.PRNGKey(0))
+        mc_cfg = DisparityConfig(**base, cost="mccnn")
+        mc_jobs[f"mccnn_{arch}"] = functools.partial(
+            _match_core, cfg=mc_cfg,
+            cost_fn=MCCNNCost(model, params, mc_cfg))
+
     failed = []
-    for name, cfg in cfgs.items():
-        fn = jax.jit(functools.partial(_match_core, cfg=cfg))
+    jobs = {name: functools.partial(_match_core, cfg=cfg)
+            for name, cfg in cfgs.items()}
+    jobs.update(mc_jobs)
+    for name, fn in jobs.items():
+        fn = jax.jit(fn)
         t0 = time.time()
         try:
             fn.lower(left, right).compile()

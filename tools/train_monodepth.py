@@ -41,6 +41,15 @@ def _scene(seed, noise=0.0):
                                                  rough_scene,
                                                  shaded_shapes_pair)
     rng = np.random.default_rng(seed)
+    if seed % 4 == 3:
+        # ray-traced perspective scene (round 4): real 3-D shading,
+        # curvature and occlusion cues — the closest this environment
+        # gets to photographic structure (data/raytrace.py)
+        from stereo_match_tpu.data.raytrace import render_stereo
+        l, r, gt = render_stereo(H, W, seed=seed)
+        gt = np.nan_to_num(gt, nan=float(np.nanmedian(gt)))
+        to3 = lambda im: np.repeat(im[..., None], 3, -1) / 255.0
+        return to3(l).astype(np.float32), to3(r).astype(np.float32), gt
     cell = int(rng.choice([8, 12, 16, 20]))
     gt = rough_scene(H, W, seed, 2.0, 20.0, cell=cell)
     if seed % 3 == 2:   # drop boxes onto the terrain (occlusion cue)
