@@ -193,7 +193,7 @@ def mccnn_cost_volume_fused(model: MCCNNFeatures, params: Any,
     H, W = left.shape
     w1, w3, b = _tower_weight_stacks(model, params)
     imgs = jnp.stack([normalize_image(left), normalize_image(right)])
-    s_out = 48 if model.features <= 64 else 24
+    s_out = 16
     feats = mccnn_tower_pallas(imgs, w1, w3, b,
                                num_layers=model.num_layers,
                                features=model.features, s_out=s_out,

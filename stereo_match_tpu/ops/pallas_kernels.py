@@ -1231,7 +1231,12 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
         ok_col = jnp.logical_and(col >= lo, col < w_true + lo)
         return jnp.where(jnp.logical_and(ok_row, ok_col), x, 0.0)
 
-    def l1_body(y, _):
+    # python-unrolled row loops (static trip counts): Mosaic software-
+    # pipelines grid steps and unrolled bodies, but a fori_loop body
+    # round-trips VMEM with a serial dependence each iteration — the
+    # proven-fast kernels here (_mccnn_vol_mxu_kernel, _sgm_scan_kernel)
+    # all unroll statically
+    for y in range(r1):
         acc = jnp.zeros((F, wpp), jnp.float32) + b_ref[0]
         for dy in range(3):
             # single-sublane dynamic loads: a multi-row load at offset
@@ -1242,11 +1247,7 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
                                                          axis=1)
                 acc = acc + w1_ref[dy * 3 + dx] * shifted
         acc = margin_mask(jnp.maximum(acc, 0.0), 1, y)
-        buf_a[pl.ds(pl.multiple_of(y * F, F), F), :] = acc.astype(
-            buf_a.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, r1, l1_body, 0)
+        buf_a[y * F:(y + 1) * F, :] = acc.astype(buf_a.dtype)
 
     src, dst = buf_a, buf_b
     for layer in range(1, L):
@@ -1254,10 +1255,8 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
         r_out = rows - 2
         last = layer == L - 1
         w3l = w3_ref[layer - 1]
-
-        def lN_body(y, _, src=src, dst=dst, w3l=w3l, layer=layer,
-                    last=last):
-            x3 = src[pl.ds(pl.multiple_of(y * F, F), 3 * F), :]
+        for y in range(r_out):
+            x3 = src[y * F:(y + 3) * F, :]
             y3 = jax.lax.dot_general(
                 w3l, x3, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -1265,21 +1264,18 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
                    + pltpu.roll(y3[F:2 * F], wpp - 1, axis=1)
                    + pltpu.roll(y3[2 * F:3 * F], wpp - 2, axis=1))
             if not last:
-                dst[pl.ds(pl.multiple_of(y * F, F), F), :] = margin_mask(
+                dst[y * F:(y + 1) * F, :] = margin_mask(
                     jnp.maximum(acc, 0.0), layer + 1, y).astype(dst.dtype)
             else:
                 ssq = jnp.sum(acc * acc, axis=0, keepdims=True)
                 fn = acc * jax.lax.rsqrt(ssq + 1e-12)
                 fn = jnp.where(col < w_true, fn, 0.0)
                 zeros = jnp.zeros((F, 128), out_ref.dtype)
-                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F), pl.ds(0, 128)] = zeros
-                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F), pl.ds(128, wpp)] = fn.astype(
+                out_ref[0, y * F:(y + 1) * F, pl.ds(0, 128)] = zeros
+                out_ref[0, y * F:(y + 1) * F, pl.ds(128, wpp)] = fn.astype(
                     out_ref.dtype)
-                out_ref[0, pl.ds(pl.multiple_of(y * F, F), F),
+                out_ref[0, y * F:(y + 1) * F,
                         pl.ds(128 + wpp, 128)] = zeros
-            return 0
-
-        jax.lax.fori_loop(0, r_out, lN_body, 0)
         src, dst = dst, src
 
 
@@ -1288,7 +1284,7 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
                                              "interpret"))
 def mccnn_tower_pallas(imgs: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray,
                        b: jnp.ndarray, *, num_layers: int, features: int,
-                       s_out: int = 48, compute_dtype=jnp.bfloat16,
+                       s_out: int = 16, compute_dtype=jnp.bfloat16,
                        interpret: bool = False) -> jnp.ndarray:
     """Both views' normalized images -> flat feature slabs.
 

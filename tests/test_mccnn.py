@@ -232,3 +232,35 @@ def test_fused_cost_volume_matches_xla_path():
         interpret=True))
     assert got.shape == (D, H, W)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_shipped_accurate_checkpoint_beats_census():
+    """The committed mccnn_accurate.npz (5x112 tower, the reference's
+    `mb slow` analog — mc_cnn/script.py:10-11) must tie census on clean
+    scenes and beat it on noisy held-out scenes, like the fast one."""
+    from stereo_match_tpu.data.synthetic import rough_scene
+    from stereo_match_tpu.models.mccnn import load_default_params
+
+    model = make_model("accurate")
+    params = load_default_params("accurate")
+    cfg_c = DisparityConfig(num_disparities=32, cost="census",
+                            uniqueness_ratio=15, disp12_max_diff=1,
+                            wls=False)
+    cfg_m = cfg_c.replace(cost="mccnn")
+    from stereo_match_tpu.pipeline.stereo import StereoMatcher
+    m_census = StereoMatcher(cfg_c)
+    m_mccnn = StereoMatcher(cfg_m, cost_fn=MCCNNCost(model, params, cfg_m))
+
+    gt = rough_scene(96, 160, 999, 2, 24)
+    results = {}
+    for noise in (0.0, 25.0):
+        l, r = random_dot_pair(96, 160, gt, blur=1.0, seed=555, noise=noise)
+        dc, _ = m_census(l, r)
+        dm, _ = m_mccnn(l, r)
+        results[noise] = (float(bad_pixel_rate(np.asarray(dc), gt, 3.0, 0.0)),
+                          float(bad_pixel_rate(np.asarray(dm), gt, 3.0, 0.0)))
+    clean_c, clean_m = results[0.0]
+    noisy_c, noisy_m = results[25.0]
+    assert clean_m <= clean_c + 0.03, results
+    assert noisy_m < noisy_c, results
+    assert noisy_m < 0.25, results
