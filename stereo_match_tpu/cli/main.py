@@ -9,6 +9,12 @@ Subcommands mirror the reference's entry-point scripts (SURVEY.md §1 L2):
   images directly)
 * ``smt reproject``      <- mapTo3D.py (disparity/depth image -> PLY)
 * ``smt eval``           — disparity metrics vs ground truth (new)
+* ``smt costbin``        <- mapTo3D_mc_cnn.py (external cost .bin -> PLY)
+* ``smt mono``           <- monodepth/script.py (single-image depth)
+* ``smt train-mccnn``    <- mc_cnn training (new; reference used
+  pretrained .t7 nets)
+* ``smt stream``         — frame sequence through the chip-resident
+  stage pipeline (new; the PP-analog capability)
 * ``smt benchmark``      — fps benchmark (new)
 """
 
@@ -16,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -320,6 +327,60 @@ def cmd_costbin(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Stream a frame sequence through the chip-resident stage pipeline.
+
+    The PP-analog capability (SURVEY.md §2): with >= 2 devices, chip i
+    holds pipeline stage i and activations rotate over ICI
+    (``parallel/pipeline_stage.StreamingPipeline``); on a single device
+    the frames run through the compiled matcher sequentially (same
+    outputs, tested bit-equal).
+    """
+    import glob as globmod
+
+    import jax
+    from stereo_match_tpu.data.image import image_read, image_save, to_grayscale
+    from stereo_match_tpu.viz.plots import colorize_disparity
+    lefts = sorted(globmod.glob(args.left_glob))
+    rights = sorted(globmod.glob(args.right_glob))
+    if not lefts or len(lefts) != len(rights):
+        print(f"error: {len(lefts)} left vs {len(rights)} right frames",
+              file=sys.stderr)
+        return 1
+    cfg = _config_from(args)
+    frames = [(to_grayscale(image_read(l)).astype(np.float32),
+               to_grayscale(image_read(r)).astype(np.float32))
+              for l, r in zip(lefts, rights)]
+    n_dev = len(jax.devices())
+    stages = args.stages or (4 if n_dev >= 4 else 2 if n_dev >= 2 else 1)
+    if stages >= 2 and n_dev >= stages:
+        from stereo_match_tpu.parallel.pipeline_stage import (
+            StreamingPipeline, make_stage_mesh)
+        pipe = StreamingPipeline(cfg, make_stage_mesh(stages),
+                                 image_shape=frames[0][0].shape,
+                                 payload_mode=args.payload_mode,
+                                 payload_dtype=args.payload_dtype)
+        results = pipe.run(frames)
+        outs = [filt for _, filt in results]
+        print(f"streamed {len(frames)} frames over {stages} stages "
+              f"(payload {args.payload_mode}/{args.payload_dtype})",
+              file=sys.stderr)
+    else:
+        from stereo_match_tpu.pipeline.stereo import StereoMatcher
+        matcher = StereoMatcher(cfg)
+        outs = [np.asarray(matcher(l, r)[1]) for l, r in frames]
+        print(f"single-device fallback: {len(frames)} frames sequentially",
+              file=sys.stderr)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, disp in enumerate(outs):
+        image_save(os.path.join(args.out_dir, f"disp_{i:04d}.png"),
+                   colorize_disparity(np.asarray(disp)))
+        np.save(os.path.join(args.out_dir, f"disp_{i:04d}.npy"),
+                np.asarray(disp))
+    print(f"{len(outs)} disparities -> {args.out_dir}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     import bench
     bench.main()
@@ -441,6 +502,22 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--disp-out", default="costbin_disparity.png")
     c.add_argument("--ply-out", default="out4.ply")
     c.set_defaults(fn=cmd_costbin)
+
+    st = sub.add_parser("stream", help="stream a frame sequence through "
+                                       "the chip-resident stage pipeline")
+    st.add_argument("--left-glob", required=True,
+                    help="glob of left frames (sorted)")
+    st.add_argument("--right-glob", required=True)
+    st.add_argument("--out-dir", default="stream_out")
+    st.add_argument("--stages", type=int, default=None, choices=[1, 2, 4],
+                    help="pipeline stages (default: by device count)")
+    st.add_argument("--payload-mode", default="census",
+                    choices=["volume", "census"],
+                    help="ICI wire contents (census halves the hop)")
+    st.add_argument("--payload-dtype", default="float32",
+                    choices=["float32", "int16"])
+    _add_settings_args(st)
+    st.set_defaults(fn=cmd_stream)
 
     k = sub.add_parser("benchmark", help="fps benchmark (one JSON line)")
     k.set_defaults(fn=cmd_benchmark)

@@ -174,3 +174,31 @@ def test_train_mccnn_cli(tmp_path, capsys):
     assert main(["match", "--left", lp, "--right", rp, "--method", "mccnn",
                  "--mccnn_checkpoint", ck, "--num_disparities", "16",
                  "--disp_out", dp]) == 0
+
+
+def test_stream_cli(tmp_path, capsys):
+    """`smt stream`: frame sequence -> per-frame disparity files through
+    the stage pipeline (census payload mode on the virtual mesh), and the
+    outputs match the single-device fallback path exactly."""
+    import os
+
+    gt = box_scene(32, 64, 2.0, 8.0)
+    for i in range(4):
+        l, r = random_dot_pair(32, 64, gt, blur=0.8, seed=60 + i)
+        image_save(str(tmp_path / f"l_{i}.png"), l)
+        image_save(str(tmp_path / f"r_{i}.png"), r)
+    out4 = str(tmp_path / "piped")
+    assert main(["stream", "--left-glob", str(tmp_path / "l_*.png"),
+                 "--right-glob", str(tmp_path / "r_*.png"),
+                 "--out-dir", out4, "--stages", "4",
+                 "--num_disparities", "16"]) == 0
+    out1 = str(tmp_path / "seq")
+    assert main(["stream", "--left-glob", str(tmp_path / "l_*.png"),
+                 "--right-glob", str(tmp_path / "r_*.png"),
+                 "--out-dir", out1, "--stages", "1",
+                 "--num_disparities", "16"]) == 0
+    for i in range(4):
+        a = np.load(os.path.join(out4, f"disp_{i:04d}.npy"))
+        b = np.load(os.path.join(out1, f"disp_{i:04d}.npy"))
+        assert a.shape == (32, 64)
+        np.testing.assert_allclose(a, b, atol=5e-3)
