@@ -99,8 +99,9 @@ def _intersect(scene: Scene, origin: np.ndarray, dirs: np.ndarray):
         obj = np.where(ok, i, obj)
     # ground plane y = ground_y (normal up)
     denom = dirs[..., 1]
-    t = np.where(np.abs(denom) > 1e-6,
-                 (scene.ground_y - origin[1]) / denom, np.inf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(denom) > 1e-6,
+                     (scene.ground_y - origin[1]) / denom, np.inf)
     ok = (t > 1e-3) & (t < t_best)
     t_best = np.where(ok, t, t_best)
     obj = np.where(ok, len(scene.spheres), obj)
