@@ -52,7 +52,12 @@ def _texture3d(p: np.ndarray, scale: float, seed: int) -> np.ndarray:
     h = (q[..., 0] * 73856093) ^ (q[..., 1] * 19349663) ^ (q[..., 2] * 83492791)
     h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
     v = v + 0.6 * (h.astype(np.float32) / 0x7FFFFFFF - 0.5)
-    return (v - v.min()) / (v.max() - v.min() + 1e-9)
+    # Fixed (analytic) normalization, NOT data min/max: the two cameras
+    # sample *different* point sets from each surface, so a data-dependent
+    # normalization would give the views slightly different photometric
+    # transforms — a rendering artifact, not scene appearance. |v| is
+    # bounded by the octave amplitudes (1/1.5+1/2.5+1/3.5)*1.5 + 0.3.
+    return np.clip(0.5 + v / 4.4, 0.0, 1.0)
 
 
 @dataclass

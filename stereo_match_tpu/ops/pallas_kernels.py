@@ -1297,6 +1297,14 @@ def mccnn_tower_pallas(imgs: jnp.ndarray, w1: jnp.ndarray, w3: jnp.ndarray,
     """
     two, H, W = imgs.shape
     L, F = num_layers, features
+    if two != 2:
+        raise ValueError("imgs must be (2, H, W) — both views")
+    if s_out % 8 or s_out <= 0:
+        raise ValueError("s_out must be a positive multiple of 8 "
+                         "(sublane-aligned block reads)")
+    if F % 16:
+        raise ValueError("features must be a multiple of 16 (bf16 "
+                         "sublane tile)")
     wpp = _cdiv(W + 2 * L, 128) * 128
     nb = _cdiv(H, s_out)
     h_out = nb * s_out
@@ -1405,6 +1413,11 @@ def mccnn_volume_flat_pallas(fl_flat: jnp.ndarray, fr_flat: jnp.ndarray,
     """
     if num_disparities % 128:
         raise ValueError("flat MC-CNN builder needs D % 128 == 0")
+    if fl_flat.shape != fr_flat.shape:
+        raise ValueError("fl/fr slabs must have identical shapes")
+    if fl_flat.shape[0] % features or fl_flat.shape[0] < h * features:
+        raise ValueError(f"slab rows {fl_flat.shape[0]} inconsistent with "
+                         f"h={h}, features={features}")
     wpp = fl_flat.shape[1] - 256
     s_blk = 8
     n_sblocks = _cdiv(h, s_blk)
