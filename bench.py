@@ -153,7 +153,6 @@ def _traffic_model(configs: dict) -> dict:
               "sad_bm_wta": 5.0}
     out = {"volume_gb": round(vol_gb, 3), "model": "passes * volume_gb"}
     for name, fps in configs.items():
-        base = name.split("+")[0]
         for key, p in passes.items():
             if name.startswith(key):
                 frame_s = 1.0 / fps

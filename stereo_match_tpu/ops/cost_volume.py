@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from stereo_match_tpu.ops.census import census_transform, hamming_distance
 
@@ -34,9 +35,8 @@ from stereo_match_tpu.ops.census import census_transform, hamming_distance
 # numpy (not jnp) scalars: creating a device array at import time would
 # initialize the XLA backend, which breaks multi-host programs that must
 # call jax.distributed.initialize before any backend touch
-import numpy as _np
-INVALID_COST = _np.float32(1e4)
-INVALID_COST_I16 = _np.int16(1024)
+INVALID_COST = np.float32(1e4)
+INVALID_COST_I16 = np.int16(1024)
 
 
 def _shift_plane(arr: jnp.ndarray, d) -> jnp.ndarray:

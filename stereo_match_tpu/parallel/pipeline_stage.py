@@ -35,8 +35,6 @@ meshes (tests, dryrun) the Pallas kernels run in interpret mode.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
