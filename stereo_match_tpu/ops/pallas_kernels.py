@@ -1378,6 +1378,11 @@ def _mccnn_vol_flat_kernel(fl_ref, fr_ref, flip_ref, out_ref, *, d_levels,
                 G = jax.lax.dot_general(
                     A, B, dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)   # (128, 256)
+                # shear G2[x, c] = G[x, c + x + 1] as a 7-step masked
+                # log-roll. (A single strided pltpu.roll would express
+                # this, but Mosaic rejects the required stride: "max
+                # shift in a vreg larger than the vreg's width", and
+                # negative shifts/strides are banned — measured round 4.)
                 G2 = pltpu.roll(G, 255, axis=1)           # c + 1
                 for bsh in (1, 2, 4, 8, 16, 32, 64):
                     rolled = pltpu.roll(G2, 256 - bsh, axis=1)
