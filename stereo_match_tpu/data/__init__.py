@@ -7,3 +7,4 @@ from stereo_match_tpu.data.arkit import (  # noqa: F401
 )
 from stereo_match_tpu.data.kitti import load_kitti_pair, read_kitti_disparity  # noqa: F401
 from stereo_match_tpu.data.middlebury import read_pfm, write_pfm, load_middlebury_pair  # noqa: F401
+from stereo_match_tpu.data.raytrace import render_stereo  # noqa: F401
