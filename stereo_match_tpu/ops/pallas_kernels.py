@@ -369,15 +369,27 @@ def _wta_stats_rows(tot, d_iota):
 
 
 def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
-                                  c0_ref, c2_ref, second_ref,
-                                  cs_ref, cse_ref, csw_ref,
-                                  *, p1, p2, s_blk, reverse):
+                                  c0_ref, c2_ref, second_ref, *rest,
+                                  p1, p2, s_blk, reverse, rwta, w_true):
     """Reverse fused scan that ALSO emits the final WTA statistics.
 
     The reverse 3-direction pass is the last time the full aggregated
     total passes through registers — reducing it to the five per-pixel
     stats maps here saves the separate ``wta_stats_pallas`` volume read.
+
+    ``rwta`` (full-width single-N-tile only): additionally emits the
+    RIGHT-view WTA index per pixel. The sheared readout
+    ``sheared[d, xr] = tot[d, xr + d]`` is produced in-register by a
+    7-step masked log-roll over lanes (roll by n-b where bit b of d is
+    set) and reduced to its argmin — removing the separate
+    ``right_wta_pallas`` pass that re-read the whole aggregated volume
+    from HBM for the disp12 LR check (~3 ms/frame at KITTI shape).
     """
+    it = iter(rest)
+    ridx_ref = next(it) if rwta else None
+    cs_ref = next(it)
+    cse_ref = next(it)
+    csw_ref = next(it)
     @pl.when(pl.program_id(1) == 0)
     def _():
         cs_ref[:] = jnp.zeros_like(cs_ref)
@@ -398,6 +410,8 @@ def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
     c0_a = jnp.zeros(tile, jnp.float32)
     c2_a = jnp.zeros(tile, jnp.float32)
     second_a = jnp.zeros(tile, jnp.float32)
+    ridx_a = jnp.zeros(tile, jnp.int32) if rwta else None
+    col_iota = None
     for k in rows:
         cs, cse, csw = _sgm_step3(_widen(c_ref[:, k, :]), cs, cse, csw, p1, p2)
         tot = _widen(acc_ref[:, k, :]) + (cs + cse + csw)
@@ -405,8 +419,28 @@ def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
         totf = tot.astype(jnp.float32)
         if d_iota is None:
             d_iota = jax.lax.broadcasted_iota(jnp.int32, totf.shape, 0)
-        best, idx, c0, c2, second = _wta_stats_rows(totf, d_iota)
+            if rwta:
+                col_iota = jax.lax.broadcasted_iota(jnp.int32, totf.shape, 1)
         at_k = row_iota == k
+        if rwta:
+            # right-view argmin FIRST so the sheared slab dies before the
+            # stats temporaries go live (VMEM-stack discipline, see the
+            # BENCH_r01 note above)
+            n = totf.shape[1]
+            D = totf.shape[0]
+            sheared = totf
+            b = 1
+            while b < D:
+                rolled = pltpu.roll(sheared, n - b, axis=1)
+                sheared = jnp.where((d_iota & b) != 0, rolled, sheared)
+                b *= 2
+            big = jnp.float32(3e9)
+            sheared = jnp.where(col_iota + d_iota < w_true, sheared, big)
+            rmin = jnp.min(sheared, axis=0)
+            ridx = jnp.min(jnp.where(sheared == rmin[None], d_iota, D),
+                           axis=0).astype(jnp.int32)
+            ridx_a = jnp.where(at_k, ridx[None], ridx_a)
+        best, idx, c0, c2, second = _wta_stats_rows(totf, d_iota)
         best_a = jnp.where(at_k, best[None], best_a)
         idx_a = jnp.where(at_k, idx[None], idx_a)
         c0_a = jnp.where(at_k, c0[None], c0_a)
@@ -420,6 +454,8 @@ def _sgm_scan3_kernel_accum_stats(c_ref, acc_ref, out_ref, best_ref, idx_ref,
     c0_ref[0] = c0_a
     c2_ref[0] = c2_a
     second_ref[0] = second_a
+    if rwta:
+        ridx_ref[0] = ridx_a
 
 
 @functools.partial(jax.jit,
@@ -430,9 +466,14 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
                            tile_n: int = 640, interpret: bool = False):
     """Final fused S/SE/SW (reversed: N/NE/NW) pass + WTA statistics.
 
-    Returns ``(total, best, idx, c0, c2, second)`` — the aggregated volume
-    (aliased into ``accum``) plus the five per-pixel maps that
-    ``wta_stats_pallas`` would otherwise re-read the volume to compute.
+    Returns ``(total, best, idx, c0, c2, second[, right_idx])`` — the
+    aggregated volume (aliased into ``accum``) plus the per-pixel maps
+    that ``wta_stats_pallas`` would otherwise re-read the volume to
+    compute. When the width fits ONE N-tile (full-width KITTI does), a
+    sixth map carries the RIGHT-view WTA index so the disp12 LR check
+    skips the separate ``right_wta_pallas`` volume read; with multiple
+    N-tiles the sheared readout would cross tiles, so the map is omitted
+    and callers fall back.
     """
     D, S, N = cost.shape
     s_blk = 8 if cost.dtype.itemsize == 4 else 16
@@ -442,6 +483,7 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
     tile_n = _fit_tile_n(tile_n, N, D, s_blk, cost.dtype.itemsize,
                          n_bufs=3, n_scratch=3, budget=34 * 2 ** 20)
     n_tiles = _cdiv(N, tile_n)
+    rwta = n_tiles == 1 and cost.dtype != jnp.int16
     pad_n = n_tiles * tile_n - N
     n_sblocks = _cdiv(S, s_blk)
     pad_s = n_sblocks * s_blk - S
@@ -456,20 +498,19 @@ def sgm_scan3_stats_pallas(cost: jnp.ndarray, accum: jnp.ndarray,
     spec = pl.BlockSpec((D, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
     map_spec = pl.BlockSpec((1, s_blk, tile_n), idx, memory_space=pltpu.VMEM)
     Sp, Np = cost.shape[1], cost.shape[2]
+    n_maps = 6 if rwta else 5
+    map_dts = [jnp.float32, jnp.int32, jnp.float32, jnp.float32,
+               jnp.float32] + ([jnp.int32] if rwta else [])
     out_shapes = (
         jax.ShapeDtypeStruct(cost.shape, cost.dtype),     # total (aliased)
-        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # best
-        jax.ShapeDtypeStruct((1, Sp, Np), jnp.int32),     # idx
-        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # c0
-        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # c2
-        jax.ShapeDtypeStruct((1, Sp, Np), jnp.float32),   # second
-    )
+    ) + tuple(jax.ShapeDtypeStruct((1, Sp, Np), dt) for dt in map_dts)
     outs = pl.pallas_call(
         functools.partial(_sgm_scan3_kernel_accum_stats, p1=float(p1),
-                          p2=float(p2), s_blk=s_blk, reverse=reverse),
+                          p2=float(p2), s_blk=s_blk, reverse=reverse,
+                          rwta=rwta, w_true=N),
         grid=(n_tiles, n_sblocks),
         in_specs=[spec, spec],
-        out_specs=(spec,) + (map_spec,) * 5,
+        out_specs=(spec,) + (map_spec,) * n_maps,
         out_shape=out_shapes,
         input_output_aliases={1: 0},
         scratch_shapes=[pltpu.VMEM((D, tile_n), cost.dtype)] * 3,

@@ -186,8 +186,13 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
     if agg.dtype not in (jnp.float32, jnp.int16):
         agg = agg.astype(jnp.float32)
     D = agg.shape[0]
-    best, idx, c0, c2, second = stats if stats is not None \
-        else wta_stats_pallas(agg, interpret=interpret)
+    if stats is None:
+        stats = wta_stats_pallas(agg, interpret=interpret)
+    best, idx, c0, c2, second = stats[:5]
+    # optional 6th map: the right-view WTA index, fused into the last
+    # aggregation pass (sgm_scan3_stats_pallas) — skips the separate
+    # right_wta_pallas volume read for the disp12 check
+    ridx_stat = stats[5] if len(stats) > 5 else None
 
     if subpixel:
         c1 = best
@@ -207,8 +212,11 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
         mask = jnp.ones(best.shape, bool)
     disp_right = None
     if disp12_max_diff >= 0 or return_right:
-        disp_right = (right_wta_pallas(agg, interpret=interpret)
-                      + min_disparity).astype(jnp.float32)
+        if ridx_stat is not None:
+            disp_right = (ridx_stat + min_disparity).astype(jnp.float32)
+        else:
+            disp_right = (right_wta_pallas(agg, interpret=interpret)
+                          + min_disparity).astype(jnp.float32)
     if disp12_max_diff >= 0:
         mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
                                           min_disparity)

@@ -331,3 +331,36 @@ def test_aggregate_wta_census_T_bit_parity():
     np.testing.assert_array_equal(np.asarray(got_tot), np.asarray(ref_tot))
     for g, r in zip(got_stats, ref_stats):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_scan3_stats_fused_right_wta():
+    """The fused right-WTA map of sgm_scan3_stats_pallas (full-width
+    single-N-tile case) must equal right_wta_pallas on the same final
+    aggregate, and the full _match_core output must be unchanged."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_pallas, right_wta_pallas, sgm_scan3_pallas,
+        sgm_scan3_stats_pallas, sgm_scan_pallas)
+
+    rng = np.random.default_rng(4)
+    H, W, D = 36, 150, 64
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    cl = jnp.moveaxis(census_transform(left, (5, 5)), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, (5, 5)), -1, 0)
+    vol = census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32,
+                               interpret=True)
+    volT = jnp.swapaxes(vol, 1, 2)
+    t = sgm_scan_pallas(volT, None, 8.0, 32.0, reverse=False,
+                        interpret=True)
+    t = sgm_scan_pallas(volT, t, 8.0, 32.0, reverse=True, interpret=True)
+    tot = jnp.swapaxes(t, 1, 2)
+    tot = sgm_scan3_pallas(vol, tot, 8.0, 32.0, reverse=False,
+                           interpret=True)
+    outs = sgm_scan3_stats_pallas(vol, tot, 8.0, 32.0, reverse=True,
+                                  interpret=True)
+    assert len(outs) == 7          # total + 5 stats + right idx
+    agg, ridx = outs[0], outs[6]
+    ref = right_wta_pallas(agg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ridx).astype(np.float32),
+                                  np.asarray(ref))
