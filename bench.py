@@ -149,18 +149,23 @@ def _traffic_model(configs: dict) -> dict:
     # vol r + tot r+w(3) + scan3-rev-stats(3) = 12. bt builds volT
     # (15); mccnn adds the volT transpose instead of the census ring
     # (16 incl. feature traffic rounded in).
-    passes = {"census_sgm8": 12.0, "bt_sgm8": 15.0, "mccnn_sgm8": 16.0,
-              "sad_bm_wta": 5.0}
+    # exact per-config counts (advisor round 4: startswith matching let
+    # _wls/_speckle rows inherit the plain count). WLS adds ~6 image-size
+    # (not volume-size) passes -> +0.1 volume units; speckle ~+0.15.
+    passes = {"census_sgm8": 12.0, "census_sgm8_wls": 12.1,
+              "census_sgm8_wls_prod": 12.1, "census_sgm8_speckle": 12.15,
+              "bt_sgm8": 15.0, "mccnn_sgm8": 16.0,
+              "mccnn_accurate_sgm8": 16.0, "sad_bm_wta": 5.0}
     out = {"volume_gb": round(vol_gb, 3), "model": "passes * volume_gb"}
     for name, fps in configs.items():
-        for key, p in passes.items():
-            if name.startswith(key):
-                frame_s = 1.0 / fps
-                out[name] = {
-                    "modeled_passes": p,
-                    "modeled_gb": round(p * vol_gb, 2),
-                    "effective_gb_s": round(p * vol_gb / frame_s, 1)}
-                break
+        p = passes.get(name)
+        if p is None:
+            continue
+        frame_s = 1.0 / fps
+        out[name] = {
+            "modeled_passes": p,
+            "modeled_gb": round(p * vol_gb, 2),
+            "effective_gb_s": round(p * vol_gb / frame_s, 1)}
     return out
 
 

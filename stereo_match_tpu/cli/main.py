@@ -352,6 +352,13 @@ def cmd_stream(args) -> int:
                to_grayscale(image_read(r)).astype(np.float32))
               for l, r in zip(lefts, rights)]
     n_dev = len(jax.devices())
+    if args.stages is not None and args.stages > n_dev:
+        # an explicitly requested topology must not silently degrade to
+        # the sequential fallback (advisor round 4)
+        print(f"error: --stages {args.stages} requested but only {n_dev} "
+              f"device(s) available; drop --stages to auto-select",
+              file=sys.stderr)
+        return 1
     stages = args.stages or (4 if n_dev >= 4 else 2 if n_dev >= 2 else 1)
     if stages >= 2 and n_dev >= stages:
         from stereo_match_tpu.parallel.pipeline_stage import (

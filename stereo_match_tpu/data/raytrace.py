@@ -87,8 +87,8 @@ def default_scene(seed: int = 0) -> Scene:
 
 
 def _intersect(scene: Scene, origin: np.ndarray, dirs: np.ndarray):
-    """Nearest hit for rays origin + t*dirs. Returns (t, point, normal,
-    object-id) with t=inf for misses (never happens: wall closes scene)."""
+    """Nearest hit for rays origin + t*dirs. Returns ``(t, object_id)``
+    with t=inf / id=-1 for misses (never happens: wall closes scene)."""
     shp = dirs.shape[:-1]
     t_best = np.full(shp, np.inf, np.float32)
     obj = np.full(shp, -1, np.int32)
@@ -118,7 +118,9 @@ def _intersect(scene: Scene, origin: np.ndarray, dirs: np.ndarray):
     return t_best, obj
 
 
-def _shade(scene: Scene, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+def _shade(scene: Scene, origin: np.ndarray, dirs: np.ndarray
+           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shade rays; returns ``(image, t, object_id)``."""
     t, obj = _intersect(scene, origin, dirs)
     pts = origin + dirs * t[..., None]
     img = np.zeros(t.shape, np.float32)

@@ -129,9 +129,11 @@ def block_match(left: jnp.ndarray, right: jnp.ndarray,
 class BlockMatcher:
     """Drop-in matcher with the ``StereoMatcher`` calling convention.
 
-    Returns ``(raw, filtered)``; BM has no WLS stage of its own in the
-    reference (the WLS filter there is built from the *matcher* object
-    only to read its params), so ``filtered`` is the speckle-filtered
+    Returns ``(raw, filtered)``. The reference WLS-filters the BM branch
+    too (``stereo_vision/stereo_vision.py:165-183`` builds the
+    DisparityWLSFilter from whichever matcher ran and filters ``displ``
+    for both SGBM and BM), so ``filtered`` is speckle- then WLS-filtered
+    when ``cfg.wls`` is set; with WLS off it is the speckle-filtered
     disparity when ``speckle_window_size > 0``, else the raw map.
     """
 
@@ -154,4 +156,9 @@ class BlockMatcher:
             from stereo_match_tpu.ops.speckle import speckle_filter
             filtered = speckle_filter(disp, cfg.speckle_window_size,
                                       cfg.speckle_range)
+        if cfg.wls:
+            from stereo_match_tpu.ops.wls import wls_filter_disparity
+            filtered = wls_filter_disparity(
+                filtered, l, lmbda=cfg.lmbda, sigma_color=cfg.sigma,
+                num_iter=cfg.wls_iters)
         return disp, filtered
