@@ -202,3 +202,29 @@ def test_stream_cli(tmp_path, capsys):
         b = np.load(os.path.join(out1, f"disp_{i:04d}.npy"))
         assert a.shape == (32, 64)
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_costbin_d228_contract(tmp_path):
+    """The MC-CNN hand-off at its real depth: D=228 (`mc_cnn/script.py:9`
+    -disp_max 228, memmapped as (1, 228, W, H) at `mapTo3D_mc_cnn.py:71`).
+    228 is not a multiple of 8 or 128 — it exercises the generic XLA
+    aggregation path end-to-end: .bin round-trip -> SGM -> WLS-refined
+    disparity."""
+    from stereo_match_tpu.data.costbin import (external_volume_to_disparity,
+                                               read_cost_bin, write_cost_bin)
+    from stereo_match_tpu.ops.cost_volume import build_cost_volume
+    H, W, D = 24, 260, 228
+    gt = box_scene(H, W, 4.0, 11.0)
+    left, right = random_dot_pair(H, W, gt, blur=0.8, seed=9)
+    vol = np.asarray(build_cost_volume(left, right, D))
+    assert vol.shape == (D, H, W)
+    p = tmp_path / "left.bin"
+    write_cost_bin(str(p), vol)
+    # on-disk contract: (1, D, W, H) float32 little-endian
+    assert p.stat().st_size == 4 * D * W * H
+    back = read_cost_bin(str(p), D, W, H)
+    np.testing.assert_array_equal(back, vol)
+    disp = external_volume_to_disparity(back, guide=left)
+    assert disp.shape == (H, W)
+    err = np.abs(disp - gt)[np.isfinite(disp)]
+    assert np.median(err) < 1.5, np.median(err)

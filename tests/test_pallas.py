@@ -364,3 +364,35 @@ def test_scan3_stats_fused_right_wta():
     ref = right_wta_pallas(agg, interpret=True)
     np.testing.assert_array_equal(np.asarray(ridx).astype(np.float32),
                                   np.asarray(ref))
+
+
+def test_production_depth_d160_bit_parity():
+    """settings.ini production depth D=160 (not a multiple of 128 —
+    `/root/reference/settings.ini:7`): the census builder, the fused
+    census h-pair route, and the fused WTA stats must all match the XLA
+    reference bit-exactly at a non-power-of-two disparity count."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.cost_volume import build_cost_volume
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_pallas, sgm_aggregate_wta_pallas, wta_stats_pallas)
+
+    rng = np.random.default_rng(0)
+    H, W, D = 20, 320, 160
+    left = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    right = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    cl = jnp.moveaxis(census_transform(left, (5, 5)), -1, 0)
+    cr = jnp.moveaxis(census_transform(right, (5, 5)), -1, 0)
+    vol = census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32,
+                               interpret=True)
+    vol_ref = build_cost_volume(left, right, num_disparities=D,
+                                cost="census", dtype="float32")
+    np.testing.assert_array_equal(np.asarray(vol), np.asarray(vol_ref))
+    ref = np.asarray(sgm_aggregate(vol, 8.0, 32.0, 8))
+    tot, stats = sgm_aggregate_wta_pallas(
+        vol, 8.0, 32.0, 8,
+        census_T=(jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2)),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(tot), ref)
+    ref_stats = wta_stats_pallas(jnp.asarray(ref), interpret=True)
+    for g, r in zip(stats, ref_stats):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
