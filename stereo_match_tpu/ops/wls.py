@@ -132,7 +132,12 @@ def wls_filter_disparity(disparity: jnp.ndarray, guide: jnp.ndarray,
 
 def lr_confidence(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
                   max_diff: float = 1.0) -> jnp.ndarray:
-    """Soft LR-consistency confidence in [0, 1] (OpenCV-filter analog)."""
+    """Soft LR-consistency confidence in [0, 1].
+
+    The round-3 stand-in (a smooth agreement ramp). Kept for API
+    stability; the production wiring uses :func:`wls_confidence_cv2`,
+    which reproduces OpenCV's DisparityWLSFilter confidence semantics.
+    """
     H, W = disp_left.shape
     x = jnp.arange(W)[None, :].astype(jnp.float32)
     xr = jnp.clip(jnp.round(x - disp_left), 0, W - 1).astype(jnp.int32)
@@ -140,3 +145,77 @@ def lr_confidence(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
     err = jnp.abs(disp_left - d_r)
     conf = jnp.clip(1.0 - (err - max_diff) / jnp.maximum(max_diff, 1e-6), 0.0, 1.0)
     return jnp.where(jnp.isfinite(conf), conf, 0.0)
+
+
+def _window_extrema(d: jnp.ndarray, radius: int):
+    """Separable (2r+1)^2 min/max pooling via iterated 1-px shifts."""
+    lo = hi = d
+    for axis in (0, 1):
+        cur_lo, cur_hi = lo, hi
+        for _ in range(radius):
+            up_lo = jnp.roll(cur_lo, 1, axis=axis)
+            dn_lo = jnp.roll(cur_lo, -1, axis=axis)
+            up_hi = jnp.roll(cur_hi, 1, axis=axis)
+            dn_hi = jnp.roll(cur_hi, -1, axis=axis)
+            # edge replicate: overwrite the wrapped row/col with itself
+            idx = jnp.arange(d.shape[axis])
+            first = (idx == 0)
+            last = (idx == d.shape[axis] - 1)
+            sel = first[:, None] if axis == 0 else first[None, :]
+            sel_l = last[:, None] if axis == 0 else last[None, :]
+            up_lo = jnp.where(sel, cur_lo, up_lo)
+            dn_lo = jnp.where(sel_l, cur_lo, dn_lo)
+            up_hi = jnp.where(sel, cur_hi, up_hi)
+            dn_hi = jnp.where(sel_l, cur_hi, dn_hi)
+            cur_lo = jnp.minimum(cur_lo, jnp.minimum(up_lo, dn_lo))
+            cur_hi = jnp.maximum(cur_hi, jnp.maximum(up_hi, dn_hi))
+        lo, hi = cur_lo, cur_hi
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=("discontinuity_radius",))
+def wls_confidence_cv2(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
+                       lrc_thresh: float = 1.5,
+                       discontinuity_radius: int = 7,
+                       discontinuity_jump: float = 6.0,
+                       roi_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """OpenCV ``DisparityWLSFilter`` confidence semantics (in [0, 1]).
+
+    The reference wires the filter's own confidence path
+    (``stereo_vision/stereo_vision.py:171-183``: a right matcher feeds
+    ``createDisparityWLSFilter``). cv2 builds the map as the PRODUCT of
+    two binary terms, ROI-masked:
+
+    * **LRC**: confident iff the left disparity round-trips through the
+      right view within ``LRCthresh`` (cv2 default 24 in 16ths = 1.5 px;
+      the right matcher's disparities are negated there — this framework
+      keeps both maps positive);
+    * **depth discontinuity**: zero within ``DepthDiscontinuityRadius``
+      of a disparity discontinuity (where the (2r+1)^2 window min/max
+      spread exceeds ``discontinuity_jump`` — large enough that sloped
+      surfaces stay confident) — exactly the half-occluded /
+      foreground-fattened pixels whose data values would otherwise drag
+      the solve.
+
+    Invalid (NaN) pixels and, when given, pixels outside ``roi_mask``
+    (cv2 computes the ROI from numDisparities/minDisparity) get 0.
+    """
+    H, W = disp_left.shape
+    x = jnp.arange(W)[None, :].astype(jnp.float32)
+    valid = jnp.isfinite(disp_left)
+    dl = jnp.where(valid, disp_left, 0.0)
+    xr = jnp.clip(jnp.round(x - dl), 0, W - 1).astype(jnp.int32)
+    d_r = jnp.take_along_axis(jnp.where(jnp.isfinite(disp_right),
+                                        disp_right, -1e6), xr, axis=1)
+    lrc_ok = jnp.abs(dl - d_r) <= lrc_thresh
+    # discontinuity term on a validity-neutral fill (NaN would poison
+    # the pooled extrema)
+    dfill = jnp.where(valid, dl, jnp.nan)
+    med = jnp.nanmedian(dfill)
+    lo, hi = _window_extrema(jnp.where(valid, dl, med),
+                             discontinuity_radius)
+    smooth = (hi - lo) <= discontinuity_jump
+    conf = (valid & lrc_ok & smooth).astype(jnp.float32)
+    if roi_mask is not None:
+        conf = conf * jnp.asarray(roi_mask, jnp.float32)
+    return conf
