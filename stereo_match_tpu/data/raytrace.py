@@ -146,6 +146,58 @@ def _shade(scene: Scene, origin: np.ndarray, dirs: np.ndarray
     return img, t, obj
 
 
+def render_view(height: int, width: int, K: np.ndarray, pose: np.ndarray,
+                scene: Scene | None = None, seed: int = 0,
+                noise: float = 0.0, gain: float = 1.0):
+    """Render one view from an arbitrary posed pinhole camera.
+
+    ``K``: 3x3 intrinsics; ``pose``: 4x4 camera-to-world in OpenCV
+    convention (x right, y down, z forward — the frame the Scene
+    geometry lives in). Returns ``(image, points)``: float32 image in
+    [0, 255] and the (H, W, 3) WORLD-frame surface points each pixel
+    sees. Unlike :func:`render_stereo` the two views of a pair need not
+    be rectified — this is the fixture generator for the pose-driven
+    flagship flow (session JSON -> rectify-from-poses -> match ->
+    reproject, reference ``disparity_calculation.py:227-320``).
+    """
+    if scene is None:
+        scene = default_scene(seed)
+    K = np.asarray(K, np.float64)
+    pose = np.asarray(pose, np.float64)
+    xs, ys = np.meshgrid(np.arange(width, dtype=np.float32),
+                         np.arange(height, dtype=np.float32))
+    dirs_cam = np.stack([(xs - K[0, 2]) / K[0, 0],
+                         (ys - K[1, 2]) / K[1, 1],
+                         np.ones_like(xs)], axis=-1)
+    dirs = dirs_cam @ pose[:3, :3].T.astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origin = pose[:3, 3].astype(np.float32)
+    img, t, _ = _shade(scene, origin, dirs)
+    pts = origin + dirs * t[..., None]
+    rng = np.random.default_rng(seed + 13)
+    img = img * 460.0 * gain
+    if noise:
+        img = img + rng.normal(0, noise, img.shape)
+    return (np.clip(img, 0, 255).astype(np.float32),
+            pts.astype(np.float32))
+
+
+def scene_surface_distance(scene: Scene, points: np.ndarray) -> np.ndarray:
+    """Distance of WORLD-frame points to the nearest scene surface.
+
+    The analytic oracle for reconstruction tests: a correctly rebuilt
+    point cloud lies ON the spheres/ground/wall, so its surface distance
+    is ~0 regardless of which surface each point hit.
+    """
+    p = np.asarray(points, np.float64).reshape(-1, 3)
+    best = np.abs(p[:, 1] - scene.ground_y)            # ground plane
+    best = np.minimum(best, np.abs(p[:, 2] - scene.wall_z))
+    for s in scene.spheres:
+        best = np.minimum(best, np.abs(
+            np.linalg.norm(p - s.center[None], axis=-1) - s.radius))
+    return best.reshape(np.asarray(points).shape[:-1])
+
+
 def render_stereo(height: int, width: int, focal: float | None = None,
                   baseline: float = 0.54, scene: Scene | None = None,
                   seed: int = 0, noise: float = 0.0,
