@@ -1253,11 +1253,29 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
     256-wide windows) — zero margins stored explicitly since Pallas
     outputs are uninitialized.
     """
+    _tower_body(img_ref, 0, w1_ref, w3_ref, b_ref, out_ref, buf_a, buf_b,
+                s_out=s_out, num_layers=num_layers, features=features,
+                wpp=wpp, w_true=w_true, h_true=h_true,
+                row0=pl.program_id(1) * s_out)
+
+
+def _tower_body(img_ref, view, w1_ref, w3_ref, b_ref, feat_ref, buf_a,
+                buf_b, *, s_out, num_layers, features, wpp, w_true, h_true,
+                row0):
+    """The tower computation for one view's row block (shared by
+    ``_mccnn_tower_kernel`` and ``_mccnn_fused_kernel``).
+
+    ``img_ref``: (V, h_in, wpp) padded images; ``feat_ref``: where the
+    final normalized features land — either the tower kernel's (1,
+    s_out*F, wpp+256) output block or a fused-kernel VMEM scratch of
+    shape (s_out*F, wpp+256); both get the data at lane offset 128 with
+    explicit zero margins.
+    """
     L = num_layers
     F = features
-    i = pl.program_id(1)
-    row0 = i * s_out
     r1 = s_out + 2 * L - 2       # layer-1 output rows
+
+    emit_2d = feat_ref.ndim == 2
 
     col = jax.lax.broadcasted_iota(jnp.int32, (F, wpp), 1)
 
@@ -1282,7 +1300,7 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
         for dy in range(3):
             # single-sublane dynamic loads: a multi-row load at offset
             # row0+y is not provably 8-aligned and Mosaic rejects it
-            row = img_ref[0, pl.ds(row0 + y + dy, 1), :]
+            row = img_ref[view, pl.ds(row0 + y + dy, 1), :]
             for dx in range(3):
                 shifted = row if dx == 0 else pltpu.roll(row, wpp - dx,
                                                          axis=1)
@@ -1311,12 +1329,19 @@ def _mccnn_tower_kernel(img_ref, w1_ref, w3_ref, b_ref, out_ref,
                 ssq = jnp.sum(acc * acc, axis=0, keepdims=True)
                 fn = acc * jax.lax.rsqrt(ssq + 1e-12)
                 fn = jnp.where(col < w_true, fn, 0.0)
-                zeros = jnp.zeros((F, 128), out_ref.dtype)
-                out_ref[0, y * F:(y + 1) * F, pl.ds(0, 128)] = zeros
-                out_ref[0, y * F:(y + 1) * F, pl.ds(128, wpp)] = fn.astype(
-                    out_ref.dtype)
-                out_ref[0, y * F:(y + 1) * F,
-                        pl.ds(128 + wpp, 128)] = zeros
+                zeros = jnp.zeros((F, 128), feat_ref.dtype)
+                if emit_2d:
+                    feat_ref[y * F:(y + 1) * F, pl.ds(0, 128)] = zeros
+                    feat_ref[y * F:(y + 1) * F, pl.ds(128, wpp)] = \
+                        fn.astype(feat_ref.dtype)
+                    feat_ref[y * F:(y + 1) * F, pl.ds(128 + wpp, 128)] = \
+                        zeros
+                else:
+                    feat_ref[0, y * F:(y + 1) * F, pl.ds(0, 128)] = zeros
+                    feat_ref[0, y * F:(y + 1) * F, pl.ds(128, wpp)] = \
+                        fn.astype(feat_ref.dtype)
+                    feat_ref[0, y * F:(y + 1) * F,
+                             pl.ds(128 + wpp, 128)] = zeros
         src, dst = dst, src
 
 
@@ -1397,13 +1422,25 @@ def _mccnn_vol_flat_kernel(fl_ref, fr_ref, flip_ref, out_ref, *, d_levels,
     (``flip_ref``) instead of the round-3 path's full-volume XLA
     ``[::-1]`` reverse+slice (~2 x 238 MB of HBM traffic).
     """
+    _gram_band_body(fl_ref, fr_ref, flip_ref[:], out_ref,
+                    d_levels=d_levels, scale=scale, features=features,
+                    wpp=wpp)
+
+
+def _gram_band_body(fl_ref, fr_ref, flip, out_ref, *, d_levels, scale,
+                    features, wpp):
+    """The Gram-band volume build on one row block (shared by
+    ``_mccnn_vol_flat_kernel`` and ``_mccnn_fused_kernel``).
+
+    ``fl_ref``/``fr_ref``: (rows*F, wpp+256) flat feature slabs (data at
+    lane offset 128); ``out_ref``: (D, rows, wpp) cost block.
+    """
     s_blk = out_ref.shape[1]
     n_tiles = wpp // 128
     n_dblocks = d_levels // 128
     row128 = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
     d_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    flip = flip_ref[:]
     for k in range(s_blk):
         for t in range(n_tiles):
             A = fl_ref[pl.ds(k * features, features),
@@ -1489,6 +1526,100 @@ def mccnn_volume_flat_pallas(fl_flat: jnp.ndarray, fr_flat: jnp.ndarray,
             vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(fl_flat, fr_flat, flip)
+    return out
+
+
+def _mccnn_fused_kernel(imgs_ref, w1_ref, w3_ref, b_ref, flip_ref, out_ref,
+                        buf_a, buf_b, feat_l, feat_r, *, s_out, num_layers,
+                        features, wpp, w_true, h_true, d_levels, scale):
+    """Single-kernel MC-CNN: images -> features -> cost volume block.
+
+    One grid step computes BOTH views' feature rows for its s_out-row
+    block entirely in VMEM scratch (``_tower_body``) and immediately
+    consumes them with the Gram-band builder (``_gram_band_body``) — the
+    feature slabs never exist in HBM. vs the two-kernel path
+    (``mccnn_tower_pallas`` + ``mccnn_volume_flat_pallas``) this removes
+    the slab write + read (~2x 130 MB for the 5x112 `accurate` arch at
+    KITTI shape), the traffic that kept ``mccnn_accurate_sgm8`` under
+    the 30 fps bar (round-4 BENCH_DETAILS).
+    """
+    row0 = pl.program_id(0) * s_out
+    for view, feat in ((0, feat_l), (1, feat_r)):
+        _tower_body(imgs_ref, view, w1_ref, w3_ref, b_ref, feat, buf_a,
+                    buf_b, s_out=s_out, num_layers=num_layers,
+                    features=features, wpp=wpp, w_true=w_true,
+                    h_true=h_true, row0=row0)
+    _gram_band_body(feat_l, feat_r, flip_ref[:], out_ref,
+                    d_levels=d_levels, scale=scale, features=features,
+                    wpp=wpp)
+
+
+@functools.partial(jax.jit, static_argnames=("num_disparities", "num_layers",
+                                             "features", "s_out", "scale",
+                                             "compute_dtype", "interpret"))
+def mccnn_fused_volume_pallas(imgs: jnp.ndarray, w1: jnp.ndarray,
+                              w3: jnp.ndarray, b: jnp.ndarray,
+                              num_disparities: int, *, num_layers: int,
+                              features: int, s_out: int = 16,
+                              scale: float = 24.0,
+                              compute_dtype=jnp.bfloat16,
+                              interpret: bool = False) -> jnp.ndarray:
+    """(2, H, W) normalized images -> exact (D, H, W) learned-cost volume
+    in ONE Pallas kernel (tower + Gram-band builder, zero HBM slabs).
+
+    Same weight-stack contract as :func:`mccnn_tower_pallas`; equal to
+    the two-kernel path up to matmul ``compute_dtype`` (tested).
+    Requires min_disparity == 0 and D % 128 == 0.
+    """
+    if num_disparities % 128:
+        raise ValueError("fused MC-CNN builder needs D % 128 == 0")
+    two, H, W = imgs.shape
+    L, F = num_layers, features
+    if two != 2:
+        raise ValueError("imgs must be (2, H, W) — both views")
+    if s_out % 8 or s_out <= 0:
+        raise ValueError("s_out must be a positive multiple of 8")
+    if F % 16:
+        raise ValueError("features must be a multiple of 16")
+    wpp = _cdiv(W + 2 * L, 128) * 128
+    nb = _cdiv(H, s_out)
+    h_out = nb * s_out
+    h_in = h_out + 2 * L
+    imgs = jnp.pad(imgs.astype(jnp.float32),
+                   ((0, 0), (L, h_in - H - L), (L, wpp - W - L)))
+    r1 = s_out + 2 * L - 2
+    dt = jnp.dtype(compute_dtype)
+    flip = jnp.asarray(np.eye(128)[::-1].copy(), dt)
+    out = pl.pallas_call(
+        functools.partial(_mccnn_fused_kernel, s_out=s_out, num_layers=L,
+                          features=F, wpp=wpp, w_true=W, h_true=H,
+                          d_levels=num_disparities, scale=float(scale)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((2, h_in, wpp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, F, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, 3 * F, 3 * F), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, F, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_disparities, s_out, wpp),
+                               lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_disparities, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((r1 * F, wpp), dt),
+                        pltpu.VMEM(((r1 - 2) * F, wpp), dt),
+                        pltpu.VMEM((s_out * F, wpp + 256), dt),
+                        pltpu.VMEM((s_out * F, wpp + 256), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(imgs, w1.astype(dt), w3.astype(dt), b.astype(jnp.float32), flip)
     return out
 
 

@@ -283,8 +283,12 @@ def test_wls_confidence_cv2_semantics():
     conf = np.asarray(wls_confidence_cv2(jnp.asarray(dl), jnp.asarray(dr),
                                          discontinuity_radius=3))
     # far from the step: smooth + LR-consistent -> full confidence
-    assert conf[:, :50].min() == 1.0
+    assert conf[:, :35].min() == 1.0
     assert conf[:, 70:].min() == 1.0
+    # the occluded band left of the step (bg pixels x in [40, 60) map
+    # into the fg box in the right view) fails LRC -> zero — exactly the
+    # half-occlusion the cv2 confidence exists to down-weight
+    assert conf[:, 42:58].max() == 0.0
     # within the discontinuity radius of the step: zero
     assert conf[:, 58:62].max() == 0.0
     # LRC violation kills confidence even on smooth ground

@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="fast", choices=["fast", "accurate"])
-    ap.add_argument("--scenes", type=int, default=18)
-    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--scenes", type=int, default=27)
+    ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=1)
@@ -82,7 +82,29 @@ def main():
                                       "mccnn_bad3": round(float(np.mean(bm)), 4)}
         print(f"noise={noise:5.1f} census={np.mean(bc):.4f} "
               f"mccnn={np.mean(bm):.4f}", file=sys.stderr)
-    print(json.dumps({"checkpoint": out, "held_out_bad3": report}))
+
+    # out-of-renderer transfer: the RAY-TRACED family is fully held out
+    # of the training pool (see make_training_pool — training mixes
+    # dots / shaded-shapes / adversarial), so this is honest
+    # generalization evidence (the gate ACCURACY.json / test_mccnn.py
+    # enforce: learned <= census, clean AND corrupted)
+    from stereo_match_tpu.data.raytrace import render_stereo
+    oor = {}
+    for tag, kw in (("clean", {}),
+                    ("noise_gain", {"noise": 6.0, "gain_right": 1.2})):
+        bc, bm = [], []
+        for s in range(3):
+            l, r, gt = render_stereo(96, 160, seed=808 + s, **kw)
+            dc, _ = m_census(l, r)
+            dm, _ = m_mccnn(l, r)
+            bc.append(float(bad_pixel_rate(np.asarray(dc), gt, 3.0, 0.0)))
+            bm.append(float(bad_pixel_rate(np.asarray(dm), gt, 3.0, 0.0)))
+        oor[tag] = {"census_bad3": round(float(np.mean(bc)), 4),
+                    "mccnn_bad3": round(float(np.mean(bm)), 4)}
+        print(f"out_of_renderer {tag:16s} census={np.mean(bc):.4f} "
+              f"mccnn={np.mean(bm):.4f}", file=sys.stderr)
+    print(json.dumps({"checkpoint": out, "held_out_bad3": report,
+                      "out_of_renderer": oor}))
 
 
 if __name__ == "__main__":
