@@ -185,7 +185,8 @@ def adversarial_pair(height: int, width: int, gt_disparity: np.ndarray,
 def shaded_shapes_pair(height: int, width: int, gt_disparity: np.ndarray,
                        seed: int = 0,
                        noise_saltpepper: float = 0.0,
-                       gain_right: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+                       gain_right: float = 1.0,
+                       tex_scale: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
     """A DIFFERENT renderer family for out-of-distribution evaluation.
 
     Unlike :func:`random_dot_pair`/:func:`adversarial_pair` (dense i.i.d.
@@ -195,6 +196,13 @@ def shaded_shapes_pair(height: int, width: int, gt_disparity: np.ndarray,
     with SALT-AND-PEPPER noise and a right-view gain. Models trained on
     the dot renderer have seen none of these statistics (used for the
     MC-CNN out-of-renderer transfer check, VERDICT round 2 #7).
+
+    ``tex_scale`` scales the structures (blob radii, speckle size and
+    density) with resolution, the way a higher-resolution camera sees
+    the SAME world: rendering at KITTI width with ``tex_scale = W/160``
+    then downsampling 7.8x reproduces the statistics of a native-width
+    render — the resolution-consistency the monodepth train/eval
+    protocol relies on.
     """
     rng = np.random.default_rng(seed)
     gt = np.asarray(gt_disparity)
@@ -205,13 +213,17 @@ def shaded_shapes_pair(height: int, width: int, gt_disparity: np.ndarray,
     tex = 40.0 + 50.0 * (xx / wp) + 30.0 * (yy / height)
     for _ in range(60):           # smooth blobs
         cy, cx = rng.uniform(0, height), rng.uniform(0, wp)
-        s = rng.uniform(6, 30)
+        s = rng.uniform(6, 30) * tex_scale
         a = rng.uniform(-60, 60)
-        tex = tex + a * np.exp(-(((yy - cy) / s) ** 2 + ((xx - cx) / s) ** 2))
-    ns = max(30, height * wp // 300)
+        tex = tex + a * np.exp(-(((yy - cy) / s) ** 2 + (((xx - cx) / s) ** 2)))
+    ns = max(30, int(height * wp // 300 / max(tex_scale, 1.0) ** 2))
     sy = rng.integers(0, height, ns)
     sx = rng.integers(0, wp, ns)
-    tex[sy, sx] = 255.0            # sparse bright speckles
+    k = max(1, int(round(tex_scale)))
+    for dy2 in range(k):           # speckles scale with resolution too
+        for dx2 in range(k):
+            tex[np.clip(sy + dy2, 0, height - 1),
+                np.clip(sx + dx2, 0, wp - 1)] = 255.0
     tex = np.clip(tex, 0, 255).astype(np.float32)
 
     rel = gt / max(float(gt.max()), 1e-6)
