@@ -104,6 +104,64 @@ def main():
     for (n0, m0), (n1, m1) in zip(rows, rows[1:]):
         print(f"{n1:26s} +{m1 - m0:7.2f} ms")
 
+    # ---- PRODUCTION path prefixes (the fused program bench.py measures:
+    # Pallas census words, census ring h-pair, fused scan3 stats +
+    # right-WTA) ----
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import (
+        census_volume_pallas, census_words_pallas,
+        sgm_aggregate_wta_pallas)
+    from stereo_match_tpu.ops.wta import extract_disparity_fast
+    from stereo_match_tpu.config import DisparityConfig as _C
+    pcfg = _C(num_disparities=D, cost="census", uniqueness_ratio=15,
+              disp12_max_diff=1, wls=False, speckle_window_size=0)
+
+    def words(l, r):
+        cw = census_words_pallas(jnp.stack([l, r]), pcfg.census_window)
+        return cw[0][None], cw[1][None]
+
+    def p_census_xla(l, r):
+        cl = jnp.moveaxis(census_transform(l, pcfg.census_window), -1, 0)
+        cr = jnp.moveaxis(census_transform(r, pcfg.census_window), -1, 0)
+        return (cl + cr)[0]
+
+    def p_census(l, r):
+        cl, cr = words(l, r)
+        return (cl + cr)[0]
+
+    def p_vol(l, r):
+        cl, cr = words(l, r)
+        return census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32)[0]
+
+    def p_agg(l, r):
+        cl, cr = words(l, r)
+        vol = census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32)
+        cT = (jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2))
+        agg, stats = sgm_aggregate_wta_pallas(vol, pcfg.P1, pcfg.P2, 8,
+                                              census_T=cT)
+        return stats[0]
+
+    def p_full(l, r):
+        cl, cr = words(l, r)
+        vol = census_volume_pallas(cl, cr, D, 0, dtype=jnp.float32)
+        cT = (jnp.swapaxes(cl, 1, 2), jnp.swapaxes(cr, 1, 2))
+        agg, stats = sgm_aggregate_wta_pallas(vol, pcfg.P1, pcfg.P2, 8,
+                                              census_T=cT)
+        return extract_disparity_fast(agg, stats=stats, uniqueness_ratio=15,
+                                      disp12_max_diff=1)
+
+    print("---- production (fused) prefixes ----")
+    prows = []
+    for name, fn in (("census_words_xla", p_census_xla),
+                     ("census_words_pallas", p_census), ("..+volume", p_vol),
+                     ("..+fused_sgm8_stats", p_agg),
+                     ("..+extract(prod)", p_full)):
+        ms = stream_ms(fn, left, right)
+        prows.append((name, ms))
+        print(f"{name:26s} {ms:8.2f} ms/frame", flush=True)
+    for (n0, m0), (n1, m1) in zip(prows, prows[1:]):
+        print(f"{n1:26s} +{m1 - m0:7.2f} ms")
+
 
 if __name__ == "__main__":
     sys.exit(main())

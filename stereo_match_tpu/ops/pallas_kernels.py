@@ -706,6 +706,154 @@ def sgm_aggregate_wta_pallas(cost: jnp.ndarray, p1: float, p2: float,
 
 # ------------------------------------------------------- cost volumes ----
 
+def _census_words_kernel(img_ref, out_ref, *, ry, rx, wpp, s_out):
+    """Census descriptor words for one view's s_out-row block.
+
+    The XLA formulation (ops/census.py) costs ~3.7 ms/frame for both
+    KITTI views — 25 dynamic-slice + compare + or passes that XLA
+    materializes through HBM several times. Here each output row is
+    built from 2*ry+1 single-row loads held in registers: per (dy, dx)
+    neighbor one lane roll + compare + scaled add packs the bit. Lane
+    coords are the padded image's (c = x + rx); the final word rolls
+    left by rx so out[x] lands at lane x. Edge replication comes from
+    the wrapper's edge-pad; roll wraparound only touches lanes beyond
+    the valid output extent.
+    """
+    v = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = i * s_out
+    wh, ww = 2 * ry + 1, 2 * rx + 1
+    for y in range(s_out):
+        center = img_ref[v, pl.ds(row0 + y + ry, 1), :]
+        word = jnp.zeros((1, wpp), jnp.int32)
+        bit = 0
+        for dy in range(wh):
+            row = img_ref[v, pl.ds(row0 + y + dy, 1), :]
+            for dx in range(ww):
+                if dy == ry and dx == rx:
+                    continue
+                off = dx - rx
+                shifted = row if off == 0 else \
+                    pltpu.roll(row, (wpp - off) % wpp, axis=1)
+                b = (shifted < center).astype(jnp.int32)
+                word = word + b * np.int32(1 << bit)
+                bit += 1
+        word = pltpu.roll(word, wpp - rx, axis=1)
+        out_ref[0, pl.ds(y, 1), :] = word
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def census_words_pallas(imgs: jnp.ndarray, window: tuple[int, int] = (5, 5),
+                        interpret: bool = False) -> jnp.ndarray:
+    """(2, H, W) images -> (2, H, W) int32 single-word census descriptors.
+
+    Bit-identical to ``ops.census.census_transform`` (same row-major bit
+    order, strict less-than, edge replication) for windows of at most 33
+    pixels (one packed word — the production 5x5 uses 24 bits).
+    """
+    wh, ww = window
+    if wh % 2 == 0 or ww % 2 == 0:
+        raise ValueError("census window must be odd in both dimensions")
+    if wh * ww - 1 > 32:
+        raise ValueError("census_words_pallas packs one int32 word "
+                         f"(window {window} needs {wh * ww - 1} bits)")
+    two, H, W = imgs.shape
+    if two != 2:
+        raise ValueError("imgs must be (2, H, W) — both views")
+    ry, rx = wh // 2, ww // 2
+    s_out = 8
+    nb = _cdiv(H, s_out)
+    h_pad = nb * s_out + 2 * ry
+    wpp = _cdiv(W + 2 * rx, 128) * 128
+    imgs = jnp.asarray(imgs, jnp.float32)
+    # edge-replicate exactly like ops.census (rows below H replicate the
+    # last true row; the lane tail past W+2*rx is don't-care)
+    imgs = jnp.pad(imgs, ((0, 0), (ry, h_pad - H - ry), (rx, wpp - W - rx)),
+                   mode="edge")
+    out = pl.pallas_call(
+        functools.partial(_census_words_kernel, ry=ry, rx=rx, wpp=wpp,
+                          s_out=s_out),
+        grid=(2, nb),
+        in_specs=[pl.BlockSpec((1, h_pad, wpp), lambda v, i: (v, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, s_out, wpp), lambda v, i: (v, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(imgs)
+    return out
+
+
+def _lr_mask_kernel(dl_ref, dr_ref, out_ref, *, d_levels, tol, w_true,
+                    min_disparity):
+    """Gather-free disp12 consistency mask on one row block.
+
+    The XLA formulation (``ops.wta.lr_consistency_mask``) samples
+    disp_right at per-pixel positions with ``take_along_axis`` — a lane
+    gather that costs ~3.5 ms/frame at KITTI shape on TPU. Here the
+    right map is rolled right one lane per step; at step s exactly the
+    lanes whose rounded sampling offset x - round(x - d_L) equals s
+    read their sample — pure VPU selects, bit-identical to the gather
+    (same jnp.round semantics, same in-frame clip behavior: clipped
+    out-of-frame lanes fail the separate inframe test regardless of the
+    value read, so the roll's wraparound is harmless).
+    """
+    dl = dl_ref[:]
+    dr = dr_ref[:]
+    x = jax.lax.broadcasted_iota(jnp.int32, dl.shape, 1).astype(jnp.float32)
+    r = jnp.round(x - dl)                     # sampling position (float)
+    s = (x - r).astype(jnp.int32)             # integer lane shift
+    ok = jnp.zeros(dl.shape, bool)
+    rolled = dr
+    for shift in range(d_levels + 1):
+        if shift > 0:
+            rolled = pltpu.roll(rolled, 1, axis=1)   # rolled[x] = dr[x-shift]
+        ok = ok | ((s == shift) & (jnp.abs(dl - rolled) <= tol))
+    inframe = (r >= 0) & (r < w_true)
+    out_ref[:] = (ok & inframe).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("d_levels", "tol",
+                                             "min_disparity", "interpret"))
+def lr_mask_pallas(disp_left: jnp.ndarray, disp_right: jnp.ndarray,
+                   d_levels: int, tol: int, min_disparity: int = 0,
+                   interpret: bool = False) -> jnp.ndarray:
+    """disp12 check |d_L(x) - d_R(x - d_L(x))| <= tol without gathers.
+
+    Equals ``ops.wta.lr_consistency_mask`` (tested bit-exact, NaN
+    invalids -> False). ``d_levels`` bounds the rolled search
+    (disparities are < min_disparity + d_levels).
+    """
+    H, W = disp_left.shape
+    s_blk = 8
+    nb = _cdiv(H, s_blk)
+    wpp = _cdiv(W, 128) * 128
+    dl = jnp.pad(jnp.asarray(disp_left, jnp.float32),
+                 ((0, nb * s_blk - H), (0, wpp - W)))
+    dr = jnp.pad(jnp.asarray(disp_right, jnp.float32),
+                 ((0, nb * s_blk - H), (0, wpp - W)))
+    spec = pl.BlockSpec((s_blk, wpp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_lr_mask_kernel,
+                          d_levels=d_levels + min_disparity,
+                          tol=float(tol), w_true=W,
+                          min_disparity=min_disparity),
+        grid=(nb,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nb * s_blk, wpp), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(dl, dr)
+    return out[:H, :W].astype(bool)
+
+
 def _census_vol_kernel(cl_ref, cr_ref, out_ref, *, d_levels, min_disparity):
     """(words, s_blk, Wp) census word blocks -> (D, s_blk, Wp) cost block.
 

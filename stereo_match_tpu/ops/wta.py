@@ -218,8 +218,12 @@ def extract_disparity_fast(agg: jnp.ndarray, min_disparity: int = 0,
             disp_right = (right_wta_pallas(agg, interpret=interpret)
                           + min_disparity).astype(jnp.float32)
     if disp12_max_diff >= 0:
-        mask = mask & lr_consistency_mask(disp, disp_right, disp12_max_diff,
-                                          min_disparity)
+        # gather-free Pallas disp12 (the XLA take_along_axis gather
+        # costs ~3.5 ms/frame at KITTI shape; the rolled kernel is
+        # bit-identical — tested)
+        from stereo_match_tpu.ops.pallas_kernels import lr_mask_pallas
+        mask = mask & lr_mask_pallas(disp, disp_right, D, disp12_max_diff,
+                                     min_disparity, interpret=interpret)
     disp = jnp.where(mask, disp, jnp.nan)
     return (disp, disp_right) if return_right else disp
 

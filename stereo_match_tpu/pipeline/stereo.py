@@ -73,9 +73,22 @@ def _match_core(left_gray: jnp.ndarray, right_gray: jnp.ndarray,
         # exists in HBM (~714 MB/frame less traffic at KITTI shape).
         from stereo_match_tpu.ops.census import census_transform
         from stereo_match_tpu.ops.pallas_kernels import (
-            census_volume_T_pallas, census_volume_pallas)
-        cl = jnp.moveaxis(census_transform(left_gray, cfg.census_window), -1, 0)
-        cr = jnp.moveaxis(census_transform(right_gray, cfg.census_window), -1, 0)
+            census_volume_T_pallas, census_volume_pallas,
+            census_words_pallas)
+        wh0, ww0 = cfg.census_window
+        if wh0 * ww0 - 1 <= 32:
+            # Pallas census transform: the XLA formulation costs
+            # ~3.7 ms/frame for both KITTI views (measured, stagebench
+            # production prefixes) — 25 shifted-compare passes through
+            # HBM; the kernel builds each row in registers
+            cw = census_words_pallas(jnp.stack([left_gray, right_gray]),
+                                     cfg.census_window)
+            cl, cr = cw[0][None], cw[1][None]
+        else:
+            cl = jnp.moveaxis(census_transform(left_gray,
+                                               cfg.census_window), -1, 0)
+            cr = jnp.moveaxis(census_transform(right_gray,
+                                               cfg.census_window), -1, 0)
         # The accelerator path always uses f32 volumes: SGM here is
         # VPU-bound (int16 would only shrink HBM traffic that is not the
         # bottleneck) and Mosaic's int16 scan kernels blow the scoped-VMEM

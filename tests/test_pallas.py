@@ -396,3 +396,45 @@ def test_production_depth_d160_bit_parity():
     ref_stats = wta_stats_pallas(jnp.asarray(ref), interpret=True)
     for g, r in zip(stats, ref_stats):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_census_words_pallas_bit_equal():
+    """The Pallas census transform must equal ops.census.census_transform
+    bitwise (row-major bit order, strict less-than, edge replication)
+    across window shapes, for both views."""
+    from stereo_match_tpu.ops.census import census_transform
+    from stereo_match_tpu.ops.pallas_kernels import census_words_pallas
+
+    rng = np.random.default_rng(0)
+    for (H, W, win) in [(37, 150, (5, 5)), (24, 140, (3, 3)),
+                        (16, 130, (5, 3))]:
+        l = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        r = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        got = np.asarray(census_words_pallas(jnp.stack([l, r]), win,
+                                             interpret=True))
+        for v, img in ((0, l), (1, r)):
+            want = np.asarray(census_transform(jnp.asarray(img), win))[:, :, 0]
+            np.testing.assert_array_equal(got[v], want)
+    with pytest.raises(ValueError):
+        census_words_pallas(jnp.zeros((2, 8, 16)), (7, 7), interpret=True)
+
+
+def test_lr_mask_pallas_bit_equal():
+    """The gather-free rolled disp12 kernel must equal
+    ops.wta.lr_consistency_mask bitwise — including NaN invalids and
+    exact-.5 subpixel offsets (jnp.round half-even semantics)."""
+    from stereo_match_tpu.ops.pallas_kernels import lr_mask_pallas
+    from stereo_match_tpu.ops.wta import lr_consistency_mask
+
+    rng = np.random.default_rng(0)
+    for (H, W, D, mind, tol) in [(40, 300, 64, 0, 1), (33, 150, 32, 4, 2)]:
+        dl = rng.uniform(mind, mind + D - 1, (H, W)).astype(np.float32)
+        dl[::5, ::7] = np.round(dl[::5, ::7]) + 0.5
+        dl[::9, ::11] = np.nan
+        dr = rng.uniform(mind, mind + D - 1, (H, W)).astype(np.float32)
+        dr[:, : W // 2] = np.round(dl[:, : W // 2])
+        want = np.asarray(lr_consistency_mask(jnp.asarray(dl),
+                                              jnp.asarray(dr), tol, mind))
+        got = np.asarray(lr_mask_pallas(jnp.asarray(dl), jnp.asarray(dr),
+                                        D, tol, mind, interpret=True))
+        np.testing.assert_array_equal(got, want)
