@@ -719,16 +719,20 @@ def _census_words_kernel(img_ref, out_ref, *, ry, rx, wpp, s_out):
     the wrapper's edge-pad; roll wraparound only touches lanes beyond
     the valid output extent.
     """
-    v = pl.program_id(0)
+    # NB: the input BlockSpec's index map already selects view
+    # program_id(0) — the ref's leading extent is 1, so the in-kernel
+    # index is 0. (Indexing by program_id(0) here passes interpret-mode
+    # tests — jnp clamps the out-of-bounds 1 back to 0 — but reads
+    # garbage on real hardware for the second view.)
     i = pl.program_id(1)
     row0 = i * s_out
     wh, ww = 2 * ry + 1, 2 * rx + 1
     for y in range(s_out):
-        center = img_ref[v, pl.ds(row0 + y + ry, 1), :]
+        center = img_ref[0, pl.ds(row0 + y + ry, 1), :]
         word = jnp.zeros((1, wpp), jnp.int32)
         bit = 0
         for dy in range(wh):
-            row = img_ref[v, pl.ds(row0 + y + dy, 1), :]
+            row = img_ref[0, pl.ds(row0 + y + dy, 1), :]
             for dx in range(ww):
                 if dy == ry and dx == rx:
                     continue
